@@ -1,0 +1,208 @@
+"""High-level modeling API — the reference's MOI-wrapper equivalent.
+
+The reference exposes itself through MathOptInterface
+(src/MOI_wrapper.jl: VectorAffine-in-Zeros/Nonpositives,
+VectorOfVariables-in-SOC/PSDTriangle, ScalarAffine objective).  The Python
+equivalents here:
+
+* ``Optimizer`` — an incremental model builder with the same constraint
+  geometry: scalar affine equalities / inequalities over variables, PSD
+  triangle blocks, second-order cones, free variables, min/max objective.
+* ``solve_sdp`` — one-call standard-form SDP:
+      min/max  <C, X>  s.t.  <A_i, X> = b_i,  <G_j, X> <= h_j,  X psd.
+
+Variable convention for PSD blocks matches MOI's PSDTriangle: the declared
+variables are the RAW upper-triangle entries X_ij (column-major, i<=j); a
+constraint coefficient on a full-matrix inner product <A, X> therefore
+contributes 2*A_ij on off-diagonal variables.  The internal sqrt(2)
+scaled-triangle form is applied during preprocessing
+(reference: src/scaling.jl:28-58), never user-visible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .options import Options, make_options
+from .problem import ConicProblem
+from .result import Result
+from .solver import solve
+from .utils.vech import sympackedlen, tri_ij
+
+
+class Optimizer:
+    """Incremental conic model builder + solver.
+
+    Example (README max-cut, reference README.md:62-86)::
+
+        opt = Optimizer(tol_gap=1e-4)
+        X = opt.add_psd_var(4)                 # 4x4 PSD block
+        for i in range(4):
+            opt.add_eq_constraint({X[i, i]: 1.0}, 1.0)
+        opt.set_objective({X[i, j]: ...}, sense="max")
+        result = opt.optimize()
+    """
+
+    def __init__(self, options: Options | None = None, **kwargs):
+        self.options = (options or Options()).replace(**kwargs) if kwargs else (
+            options or Options()
+        )
+        self._nvars = 0
+        self._sdp_vars: list[np.ndarray] = []
+        self._soc_vars: list[np.ndarray] = []
+        self._eq_rows: list[dict] = []
+        self._eq_rhs: list[float] = []
+        self._ineq_rows: list[dict] = []
+        self._ineq_rhs: list[float] = []
+        self._obj: dict = {}
+        self._sense = "min"
+        self._obj_constant = 0.0
+        self.result: Result | None = None
+
+    # ---------------- variables ----------------
+    def add_free_vars(self, k: int) -> np.ndarray:
+        idx = np.arange(self._nvars, self._nvars + k)
+        self._nvars += k
+        return idx
+
+    def add_psd_var(self, side: int) -> np.ndarray:
+        """Add a side x side PSD matrix block; returns a (side, side) index
+        matrix (symmetric: [i,j] and [j,i] map to the same variable)."""
+        tl = sympackedlen(side)
+        idx = np.arange(self._nvars, self._nvars + tl)
+        self._nvars += tl
+        self._sdp_vars.append(idx)
+        i, j = tri_ij(side)
+        mat = np.zeros((side, side), dtype=np.int64)
+        mat[i, j] = idx
+        mat[j, i] = idx
+        return mat
+
+    def add_soc_var(self, length: int) -> np.ndarray:
+        """Add a second-order cone block [t; v] with ||v|| <= t."""
+        idx = np.arange(self._nvars, self._nvars + length)
+        self._nvars += length
+        self._soc_vars.append(idx)
+        return idx
+
+    # ---------------- constraints ----------------
+    def add_eq_constraint(self, coeffs: dict, rhs: float):
+        self._eq_rows.append(dict(coeffs))
+        self._eq_rhs.append(float(rhs))
+
+    def add_ineq_constraint(self, coeffs: dict, rhs: float):
+        """sum coeffs[v] * x[v] <= rhs."""
+        self._ineq_rows.append(dict(coeffs))
+        self._ineq_rhs.append(float(rhs))
+
+    def set_objective(self, coeffs: dict, sense: str = "min", constant: float = 0.0):
+        self._obj = dict(coeffs)
+        self._sense = sense
+        self._obj_constant = float(constant)
+
+    # ---------------- matrix-level helpers ----------------
+    def psd_inner_product_coeffs(self, Xidx: np.ndarray, A: np.ndarray) -> dict:
+        """Coefficient dict for <A, X> over a PSD block's index matrix."""
+        side = Xidx.shape[0]
+        A = np.asarray(A, dtype=np.float64)
+        A = 0.5 * (A + A.T)
+        coeffs: dict = {}
+        for jj in range(side):
+            for ii in range(jj + 1):
+                v = int(Xidx[ii, jj])
+                coef = A[ii, jj] if ii == jj else 2.0 * A[ii, jj]
+                if coef != 0.0:
+                    coeffs[v] = coeffs.get(v, 0.0) + coef
+        return coeffs
+
+    # ---------------- solve ----------------
+    def build_problem(self) -> ConicProblem:
+        n = self._nvars
+        try:
+            import scipy.sparse as sp
+
+            def rows_to_mat(rows, nr):
+                data, ri, ci = [], [], []
+                for r, row in enumerate(rows):
+                    for v, coef in row.items():
+                        ri.append(r)
+                        ci.append(int(v))
+                        data.append(float(coef))
+                return sp.csc_matrix((data, (ri, ci)), shape=(nr, n))
+        except ImportError:  # pragma: no cover
+
+            def rows_to_mat(rows, nr):
+                M = np.zeros((nr, n))
+                for r, row in enumerate(rows):
+                    for v, coef in row.items():
+                        M[r, int(v)] = coef
+                return M
+
+        A = rows_to_mat(self._eq_rows, len(self._eq_rows))
+        G = rows_to_mat(self._ineq_rows, len(self._ineq_rows))
+        c = np.zeros(n)
+        for v, coef in self._obj.items():
+            c[int(v)] += coef
+        if self._sense == "max":
+            c = -c
+        return ConicProblem(
+            c=c,
+            A=A,
+            b=np.asarray(self._eq_rhs),
+            G=G,
+            h=np.asarray(self._ineq_rhs),
+            sdp_vars=self._sdp_vars,
+            soc_vars=self._soc_vars,
+            objective_sense=self._sense,
+            objective_constant=self._obj_constant,
+        )
+
+    def optimize(self, **kwargs) -> Result:
+        opts = self.options.replace(**kwargs) if kwargs else self.options
+        self.result = solve(self.build_problem(), opts)
+        return self.result
+
+    # ---------------- result accessors (MOI-style) ----------------
+    def get_psd_solution(self, Xidx: np.ndarray) -> np.ndarray:
+        """Return the solved PSD block as a dense symmetric matrix."""
+        assert self.result is not None, "call optimize() first"
+        return self.result.primal[Xidx]
+
+    @property
+    def termination_status(self) -> str:
+        assert self.result is not None
+        return self.result.termination_status
+
+    @property
+    def objective_value(self) -> float:
+        assert self.result is not None
+        return self.result.objval
+
+
+def solve_sdp(
+    C,
+    As=(),
+    bs=(),
+    Gs=(),
+    hs=(),
+    sense: str = "min",
+    options: Options | None = None,
+    **kwargs,
+) -> tuple[np.ndarray, Result]:
+    """Standard-form single-block SDP:
+
+        sense  <C, X>   s.t.  <A_i, X> = b_i,  <G_j, X> <= h_j,  X psd.
+
+    Returns (X, result) where X is the dense solution matrix.
+    """
+    C = np.asarray(C, dtype=np.float64)
+    n = C.shape[0]
+    opt = Optimizer(options, **kwargs)
+    X = opt.add_psd_var(n)
+    for A, b in zip(As, bs):
+        opt.add_eq_constraint(opt.psd_inner_product_coeffs(X, A), b)
+    for G, h in zip(Gs, hs):
+        opt.add_ineq_constraint(opt.psd_inner_product_coeffs(X, G), h)
+    opt.set_objective(opt.psd_inner_product_coeffs(X, C), sense=sense)
+    res = opt.optimize()
+    return opt.get_psd_solution(X), res

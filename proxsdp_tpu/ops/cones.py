@@ -1,0 +1,144 @@
+"""Cone projections (PSD / SOC / box) as pure jittable functions.
+
+Reference behavior being reproduced:
+* box projection of the dual onto {b} x (-inf, h]  — src/prox_operators.jl:160-170
+* SOC projection                                   — src/prox_operators.jl:138-158
+* PSD projection with positive-eigenpair
+  reconstruction and rank accounting               — src/prox_operators.jl:33-126
+
+Everything is branch-free (jnp.where / lax.cond) with static shapes.  Each
+PSD block reports (projected block, min_eig, current_rank) exactly like the
+reference's Params bookkeeping so the adaptive-rank controller can run
+on-device.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .tri import square_to_tri, tri_to_square
+from . import lanczos as _lz
+
+
+def box_projection(v, b, h, step, p: int, m: int):
+    """Projection used inside the dual step (Moreau decomposition).
+
+    Equality rows are pinned to b; inequality rows are min(v/step, h)
+    (reference src/prox_operators.jl:160-170 — note the reference divides
+    only the inequality part by step; the equality projection is constant).
+    """
+    parts = []
+    if p:
+        parts.append(b)
+    if m:
+        parts.append(jnp.minimum(v[p:] / step, h))
+    if not parts:
+        return jnp.zeros_like(v)
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def soc_projection_block(block):
+    """Project one SOC block [s, v...] onto ||v|| <= s.
+
+    Branch-free version of reference src/prox_operators.jl:145-158.
+    """
+    s, v = block[0], block[1:]
+    nv = jnp.sqrt(jnp.sum(v * v))
+    # three cases: nv <= -s -> 0 ; nv <= s -> identity ; else scale
+    scale = 0.5 * (1.0 + s / jnp.where(nv == 0, 1.0, nv))
+    in_cone = nv <= s
+    in_polar = nv <= -s
+    new_s = jnp.where(in_polar, 0.0, jnp.where(in_cone, s, scale * nv))
+    new_v = jnp.where(in_polar, 0.0, jnp.where(in_cone, 1.0, scale)) * v
+    return jnp.concatenate([new_s[None], new_v])
+
+
+class PsdProjResult(NamedTuple):
+    block: jax.Array  # projected packed triangle
+    min_eig: jax.Array  # smallest eigenvalue "seen" (reference semantics)
+    current_rank: jax.Array  # int32 rank used
+    warm: jax.Array  # warm-start vector for the next iteration's Lanczos
+
+
+def psd_projection_block(
+    v_block,
+    side: int,
+    target_rank,
+    warm,
+    *,
+    opt,
+    allow_lanczos: bool,
+):
+    """Project one packed PSD block onto the PSD cone.
+
+    Gating (reference src/prox_operators.jl:43-60):
+      side == 1                 -> max(0, x)
+      lanczos eligible & target_rank <= max_target -> low-rank Lanczos,
+                                   falling back to eigh if not converged
+      otherwise                 -> full eigh keeping positive eigenpairs
+
+    min_eig semantics follow the reference: full path reports 0.0
+    (prox_operators.jl:114), Lanczos path reports the smallest computed Ritz
+    value (prox_operators.jl:95).
+    """
+    dtype = v_block.dtype
+    if side == 1:
+        val = v_block[0]
+        proj = jnp.maximum(val, 0.0)
+        return PsdProjResult(
+            block=proj[None],
+            min_eig=proj,
+            current_rank=(proj > 0).astype(jnp.int32),
+            warm=warm,
+        )
+
+    X = tri_to_square(v_block, side)
+
+    def full_path(X):
+        w, V = jnp.linalg.eigh(X)  # ascending
+        pos = jnp.maximum(w, 0.0)
+        Xp = (V * pos[None, :]) @ V.T
+        cur = jnp.sum(w > opt.tol_psd).astype(jnp.int32)
+        return Xp, jnp.asarray(0.0, dtype), cur, V[:, -1]
+
+    use_lz = (
+        allow_lanczos
+        and not opt.full_eig_decomp
+        and side > opt.min_size_krylov_eigs
+        and opt.use_lanczos
+    )
+    if not use_lz:
+        Xp, me, cur, wv = full_path(X)
+        return PsdProjResult(square_to_tri(Xp, side), me, cur, wv)
+
+    ncv = min(max(2 * opt.max_target_rank_krylov_eigs + 1, opt.eigsolver_min_lanczos), side)
+
+    def lanczos_path(X):
+        out = _lz.lanczos_topk(X, warm, ncv=ncv, tol=opt.krylovkit_tol)
+        # Ritz pairs sorted descending in out.vals / out.vecs columns
+        k_mask = jnp.arange(ncv) < target_rank
+        conv_ok = jnp.all(jnp.where(k_mask, out.resid <= jnp.maximum(
+            opt.krylovkit_tol * jnp.abs(out.vals), 10 * opt.krylovkit_tol), True))
+
+        def reconstruct(_):
+            pos_mask = k_mask & (out.vals > 0.0)
+            lam = jnp.where(pos_mask, out.vals, 0.0)
+            W = out.vecs * jnp.sqrt(lam)[None, :]
+            Xp = W @ W.T
+            # min over the target_rank leading Ritz values
+            me = jnp.min(jnp.where(k_mask, out.vals, jnp.inf))
+            cur = jnp.sum(pos_mask).astype(jnp.int32)
+            return Xp, me.astype(dtype), cur, out.vecs[:, 0]
+
+        def fallback(_):
+            return full_path(X)
+
+        return jax.lax.cond(conv_ok, reconstruct, fallback, operand=None)
+
+    # target_rank is traced: decide lanczos vs full at run time
+    pred = target_rank <= opt.max_target_rank_krylov_eigs
+    Xp, me, cur, wv = jax.lax.cond(pred, lanczos_path, full_path, X)
+    return PsdProjResult(square_to_tri(Xp, side), me, cur, wv)

@@ -1,0 +1,150 @@
+"""Linear operator M = [A; G] for the PDHG loop.
+
+The reference stores M and M' as sparse CSC and applies BLAS-backed
+``mul!`` (src/structs.jl:153-157, src/pdhg.jl:104-128).  On TPU we pick, at
+setup time, between:
+
+* ``DenseOp`` — a dense (p+m, n) array; matvec/rmatvec are MXU matmuls.
+  Best whenever the matrix fits comfortably in HBM; XLA fuses the adjacent
+  axpy/projection elementwise work into the matmul's epilogue.
+* ``CooOp`` — padded COO triples; matvec = segment-sum of vals*x[cols]
+  (rows pre-sorted so XLA lowers to a cheap sorted-segment reduction),
+  rmatvec = scatter-add.  For SDPLIB-style constraints (p+m << n, a handful
+  of nnz per row) this keeps HBM traffic proportional to nnz.
+
+Both are registered as pytrees so they can ride through jit as operands
+(no recompilation when values change, only when shapes change).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import scipy.sparse as _sp
+except Exception:  # pragma: no cover
+    _sp = None
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseOp:
+    def __init__(self, mat):
+        self.mat = mat
+
+    @property
+    def shape(self):
+        return self.mat.shape
+
+    def matvec(self, x):
+        return self.mat @ x
+
+    def rmatvec(self, y):
+        return self.mat.T @ y
+
+    def frobenius_norm(self):
+        return jnp.sqrt(jnp.sum(self.mat * self.mat))
+
+    def tree_flatten(self):
+        return (self.mat,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class CooOp:
+    """Padded COO operator; rows sorted ascending, padding has val=0.
+
+    Padding entries point at row p+m-? -> we pad with (row=nrows-1... no:
+    padding uses row=nrows, clipped by segment_sum's num_segments, and
+    col=0 with val=0, so they contribute nothing to either product.
+    """
+
+    def __init__(self, rows, cols, vals, nrows: int, ncols: int):
+        self.rows = rows
+        self.cols = cols
+        self.vals = vals
+        self.nrows = nrows
+        self.ncols = ncols
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    def matvec(self, x):
+        prod = self.vals * x[self.cols]
+        return jax.ops.segment_sum(
+            prod, self.rows, num_segments=self.nrows, indices_are_sorted=True
+        )
+
+    def rmatvec(self, y):
+        contrib = self.vals * y.at[self.rows].get(mode="fill", fill_value=0.0)
+        out = jnp.zeros((self.ncols,), dtype=self.vals.dtype)
+        return out.at[self.cols].add(contrib)
+
+    def frobenius_norm(self):
+        return jnp.sqrt(jnp.sum(self.vals * self.vals))
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.vals), (self.nrows, self.ncols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0], aux[1])
+
+
+def _to_coo(M):
+    if _sp is not None and _sp.issparse(M):
+        coo = M.tocoo()
+        return coo.row.astype(np.int64), coo.col.astype(np.int64), coo.data.astype(np.float64)
+    M = np.asarray(M)
+    r, c = np.nonzero(M)
+    return r.astype(np.int64), c.astype(np.int64), M[r, c].astype(np.float64)
+
+
+def stack_vertical(A, G):
+    """Host-side vertical stack of A (p,n) and G (m,n), dense or sparse."""
+    if _sp is not None and (_sp.issparse(A) or _sp.issparse(G)):
+        return _sp.vstack([_sp.csr_matrix(A), _sp.csr_matrix(G)]).tocsr()
+    return np.vstack([np.asarray(A), np.asarray(G)])
+
+
+def build_linop(A, G, dtype, force: str | None = None, dense_limit: int = 1 << 23):
+    """Choose and build the device operator for M = [A; G].
+
+    force: "dense" | "coo" | None (auto).  Auto picks dense when the dense
+    matrix has at most ``dense_limit`` entries (8M -> 64MB f64) or density
+    is high enough that COO gathers would not pay off.
+    """
+    M = stack_vertical(A, G)
+    nrows, ncols = M.shape
+    size = nrows * ncols
+    if _sp is not None and _sp.issparse(M):
+        nnz = M.nnz
+    else:
+        nnz = int(np.count_nonzero(M))
+    density = nnz / max(size, 1)
+
+    choice = force
+    if choice is None:
+        choice = "dense" if (size <= dense_limit or density > 0.25) else "coo"
+
+    if choice == "dense":
+        dense = M.toarray() if (_sp is not None and _sp.issparse(M)) else np.asarray(M)
+        return DenseOp(jnp.asarray(dense, dtype=dtype))
+
+    rows, cols, vals = _to_coo(M)
+    order = np.argsort(rows, kind="stable")
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    # pad to a power-of-two-ish bucket so minor nnz changes reuse compilations
+    nnz = len(vals)
+    pad = max(8, 1 << int(np.ceil(np.log2(max(nnz, 1)))))
+    rows = np.concatenate([rows, np.full(pad - nnz, nrows, np.int64)])
+    cols = np.concatenate([cols, np.zeros(pad - nnz, np.int64)])
+    vals = np.concatenate([vals, np.zeros(pad - nnz)])
+    return CooOp(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals, dtype=dtype), nrows, ncols
+    )

@@ -1,0 +1,188 @@
+"""Solver options.
+
+TPU-native re-design of the reference's flat ``Options`` struct
+(reference: src/options.jl:1-132).  Same field names and defaults so users of
+the reference can switch without relearning the knob surface.  The dataclass
+is frozen/hashable because it is consumed as a *static* argument when the
+PDHG chunk is jit-compiled: changing an option triggers a (cached) recompile,
+exactly like changing a Julia type parameter.
+
+Fields that only made sense for ARPACK's reverse-communication interface are
+kept for API compatibility but are inert (documented per-field).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    # ------------------------------------------------------------------
+    # Printing options (reference: src/options.jl:3-16)
+    # ------------------------------------------------------------------
+    log_verbose: bool = False
+    log_freq: int = 1000
+    timer_verbose: bool = False
+    timer_file: bool = False
+    disable_julia_logger: bool = True  # inert (no Julia logger here)
+
+    # time options
+    time_limit: float = 360000.0  # seconds (100 hours)
+
+    warn_on_limit: bool = False
+    extended_log: bool = False
+    extended_log2: bool = False
+    log_repeat_header: bool = False
+
+    # ------------------------------------------------------------------
+    # Tolerances (reference: src/options.jl:18-28)
+    # ------------------------------------------------------------------
+    tol_gap: float = 1e-4
+    tol_feasibility: float = 1e-4
+    tol_feasibility_dual: float = 1e-4
+    tol_primal: float = 1e-4
+    tol_dual: float = 1e-4
+    tol_psd: float = 1e-7
+    tol_soc: float = 1e-7
+
+    check_dual_feas: bool = False
+    check_dual_feas_freq: int = 1000
+
+    max_obj: float = 1e20
+    min_iter_max_obj: int = 10
+
+    # infeasibility check (reference: src/options.jl:33-39)
+    min_iter_time_infeas: int = 1000
+    infeas_gap_tol: float = 1e-4
+    infeas_limit_gap_tol: float = 1e-1
+    infeas_stable_gap_tol: float = 1e-4
+    infeas_feasibility_tol: float = 1e-4
+    infeas_stable_feasibility_tol: float = 1e-8
+
+    certificate_search: bool = True
+    certificate_obj_tol: float = 1e-1
+    certificate_fail_tol: float = 1e-8
+
+    # Bounds on beta (kept for parity; unused by the reference loop too)
+    min_beta: float = 1e-5
+    max_beta: float = 1e5
+    initial_beta: float = 1.0
+
+    # Adaptive primal-dual step parameters (reference: src/options.jl:50-53)
+    initial_adapt_level: float = 0.9
+    adapt_decay: float = 0.8
+    adapt_window: int = 50
+
+    # PDHG parameters (reference: src/options.jl:55-63)
+    convergence_window: int = 200
+    convergence_check: int = 50
+    max_iter: int = 0
+    min_iter: int = 40
+    divergence_min_update: int = 50
+    max_iter_lp: int = 10_000_000
+    max_iter_conic: int = 1_000_000
+
+    advanced_initialization: bool = True
+
+    # Linesearch parameters (reference: src/options.jl:67-72)
+    line_search_flag: bool = True
+    max_linsearch_steps: int = 5000
+    delta: float = 0.9999
+    initial_theta: float = 1.0
+    linsearch_decay: float = 0.75
+
+    # Spectral decomposition parameters (reference: src/options.jl:74-80)
+    full_eig_decomp: bool = False
+    max_target_rank_krylov_eigs: int = 16
+    min_size_krylov_eigs: int = 100
+    warm_start_eig: bool = True
+    rank_increment: int = 1  # 0 = multiply, 1 = add
+    rank_increment_factor: int = 1
+
+    # eigsolver selection (reference: src/options.jl:82-89).  On TPU there is
+    # a single engine: static-shape Lanczos with full reorthogonalization
+    # (ops/lanczos.py).  1/2 both map to it; kept for parity.
+    eigsolver: int = 2
+    eigsolver_min_lanczos: int = 25
+    eigsolver_resid_seed: int = 1234
+
+    # ARPACK-era knobs (inert; the TPU Lanczos is deterministic by design)
+    arpack_tol: float = 1e-10
+    arpack_resid_init: int = 3
+    arpack_reset_resid: bool = True
+    arpack_max_iter: int = 10_000
+
+    # KrylovKit-era knobs (krylovkit_tol reused as the Lanczos residual
+    # convergence tolerance on TPU)
+    krylovkit_reset_resid: bool = False
+    krylovkit_resid_init: int = 3
+    krylovkit_tol: float = 1e-12
+    krylovkit_max_iter: int = 100
+    krylovkit_eager: bool = False
+    krylovkit_verbose: int = 0
+
+    # Rank reduction heuristic (inert in the reference as well)
+    reduce_rank: bool = False
+    rank_slack: int = 3
+
+    full_eig_freq: int = 10_000_000
+    full_eig_len: int = 0
+
+    # equilibration parameters (reference: src/options.jl:122-128)
+    equilibration: bool = False
+    equilibration_iters: int = 1000
+    equilibration_lb: float = -10.0
+    equilibration_ub: float = +10.0
+    equilibration_limit: float = 0.9
+    equilibration_force: bool = False
+
+    # spectral norm: True = Frobenius upper bound (deterministic, default);
+    # False = power-iteration 2-norm (reference uses ARPACK svds here)
+    approx_norm: bool = True
+
+    # ------------------------------------------------------------------
+    # TPU-native extensions (no reference counterpart)
+    # ------------------------------------------------------------------
+    # Computation dtype: "float64" (default; accuracy parity with the
+    # reference) or "float32" (full MXU speed on TPU).
+    dtype: str = "float64"
+    # Iterations executed per jitted chunk between host syncs (time-limit /
+    # logging checks live on the host between chunks).
+    chunk_iters: int = 0  # 0 = auto (max(convergence_check, 50))
+    # Power-iteration steps used when approx_norm=False.
+    power_iters: int = 50
+    # Use the low-rank Lanczos path when eligible (mirrors the reference's
+    # krylov gating); set False to force dense eigh everywhere.
+    use_lanczos: bool = True
+    # Warm-start the solver from a previous Result (closes the reference's
+    # roadmap gap; README.md:145-148 lists warm start as future work).
+    # Supplied per-call via solve(..., warm_start=...), not here.
+
+    def __post_init__(self):
+        if self.dtype not in ("float64", "float32"):
+            raise ValueError(f"dtype must be float64|float32, got {self.dtype}")
+
+    def replace(self, **kw) -> "Options":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def max_iter_local(self) -> Optional[int]:
+        # resolved at solve time (depends on whether cones are present)
+        return None
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(Options)}
+
+
+def make_options(**kwargs) -> Options:
+    """Build Options, erroring on unknown names.
+
+    Mirrors the reference's reflection-based raw-attribute setting
+    (src/MOI_wrapper.jl:84-103): unknown option names are an error.
+    """
+    unknown = set(kwargs) - _FIELD_NAMES
+    if unknown:
+        raise ValueError(f"Unknown option(s): {sorted(unknown)}")
+    return Options(**kwargs)

@@ -1,0 +1,275 @@
+"""Conic problem IR and host-side preprocessing.
+
+Problem form (identical to the reference, SURVEY.md §0):
+
+    min  c'x   s.t.  A x = b  (p equalities),  G x <= h  (m inequalities),
+                     x in K = (scaled PSD triangle cones) x (SOCs) x (free)
+
+``ConicProblem`` is the user-facing container (NumPy / SciPy-sparse).
+``preprocess`` performs the cone-first variable permutation
+(reference: src/scaling.jl:2-26) and the sqrt(2) off-diagonal triangle scaling
+(reference: src/scaling.jl:28-58), returning a ``SetupProblem`` whose static
+``ConeLayout`` drives jit compilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+try:  # scipy ships with jax; used only host-side for sparse assembly
+    import scipy.sparse as _sp
+except Exception:  # pragma: no cover
+    _sp = None
+
+from .utils.vech import offdiag_mask_tri, sympackeddim, sympackedlen
+
+
+@dataclasses.dataclass(frozen=True)
+class ConeLayout:
+    """Static (hashable) description of the permuted variable layout.
+
+    After preprocessing, variables are ordered: SDP blocks (packed triangles,
+    in declaration order), then SOC blocks, then free variables — each block
+    contiguous.  This makes every cone projection a static-offset slice.
+    """
+
+    n: int  # total primal variables
+    p: int  # number of equalities
+    m: int  # number of inequalities
+    sdp_sides: tuple  # matrix side per PSD block
+    soc_lens: tuple  # length per SOC block (s + v)
+
+    @property
+    def sdp_tri_lens(self):
+        return tuple(sympackedlen(s) for s in self.sdp_sides)
+
+    @property
+    def sdp_offsets(self):
+        offs, o = [], 0
+        for t in self.sdp_tri_lens:
+            offs.append(o)
+            o += t
+        return tuple(offs)
+
+    @property
+    def soc_offsets(self):
+        o = sum(self.sdp_tri_lens)
+        offs = []
+        for l in self.soc_lens:
+            offs.append(o)
+            o += l
+        return tuple(offs)
+
+    @property
+    def cone_dim(self):
+        return sum(self.sdp_tri_lens) + sum(self.soc_lens)
+
+    @property
+    def n_free(self):
+        return self.n - self.cone_dim
+
+
+class ConicProblem:
+    """User-facing conic problem (host-side, NumPy/SciPy).
+
+    Parameters
+    ----------
+    c : (n,) objective vector (minimization).
+    A, b : equality constraints A x = b; A is (p, n) dense or scipy-sparse.
+    G, h : inequality constraints G x <= h; G is (m, n) dense or scipy-sparse.
+    sdp_vars : per PSD block, the indices into x holding the packed upper
+        triangle (column-major, MOI order).  Entries across all cones must be
+        disjoint (the reference requires the same; MOI bridges add equalities
+        for shared variables, reference src/structs.jl:36 'extra').
+    soc_vars : per SOC block, the indices into x: first entry is s, the rest v.
+    objective_sense : "min" (default) or "max" — with "max", c is the vector
+        being maximized (sign handled internally, reference
+        src/MOI_wrapper.jl:247-254).
+    objective_constant : added to the reported objective value.
+    """
+
+    def __init__(
+        self,
+        c,
+        A=None,
+        b=None,
+        G=None,
+        h=None,
+        sdp_vars: Sequence = (),
+        soc_vars: Sequence = (),
+        objective_sense: str = "min",
+        objective_constant: float = 0.0,
+    ):
+        c = np.asarray(c, dtype=np.float64).ravel()
+        n = c.shape[0]
+        if A is None:
+            A = np.zeros((0, n))
+            b = np.zeros((0,))
+        if G is None:
+            G = np.zeros((0, n))
+            h = np.zeros((0,))
+        b = np.asarray(b, dtype=np.float64).ravel()
+        h = np.asarray(h, dtype=np.float64).ravel()
+        if objective_sense not in ("min", "max"):
+            raise ValueError("objective_sense must be 'min' or 'max'")
+
+        self.n = n
+        self.A = A
+        self.G = G
+        self.b = b
+        self.h = h
+        self.c = c
+        self.sdp_vars = [np.asarray(v, dtype=np.int64).ravel() for v in sdp_vars]
+        self.soc_vars = [np.asarray(v, dtype=np.int64).ravel() for v in soc_vars]
+        self.objective_sense = objective_sense
+        self.objective_constant = float(objective_constant)
+
+        for v in self.sdp_vars:
+            sympackeddim(len(v))  # validates triangular length
+        all_cone = (
+            np.concatenate(self.sdp_vars + self.soc_vars)
+            if (self.sdp_vars or self.soc_vars)
+            else np.zeros(0, np.int64)
+        )
+        if len(np.unique(all_cone)) != len(all_cone):
+            raise ValueError(
+                "cone variable index lists must be disjoint "
+                "(introduce duplicate variables + equality constraints instead)"
+            )
+        if all_cone.size and (all_cone.min() < 0 or all_cone.max() >= n):
+            raise ValueError("cone variable index out of range")
+
+    @property
+    def p(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.G.shape[0]
+
+    @property
+    def sdp_sides(self):
+        return tuple(sympackeddim(len(v)) for v in self.sdp_vars)
+
+    @property
+    def soc_lens(self):
+        return tuple(len(v) for v in self.soc_vars)
+
+
+@dataclasses.dataclass
+class SetupProblem:
+    """Preprocessed problem: permuted + scaled, ready for the solver core.
+
+    ``A_orig/G_orig/b_orig/h_orig/c_orig`` are the *permuted but unscaled*
+    copies kept for solution recovery and dual-feasibility checks
+    (reference: src/pdhg.jl:58-62).
+    """
+
+    layout: ConeLayout
+    # scaled operands fed to the device loop
+    A: object
+    G: object
+    b: np.ndarray
+    h: np.ndarray
+    c: np.ndarray
+    # unscaled copies (post-permutation)
+    A_orig: object
+    G_orig: object
+    b_orig: np.ndarray
+    h_orig: np.ndarray
+    c_orig: np.ndarray
+    var_ordering: np.ndarray  # inverse permutation back to user order
+    norm_b: float
+    norm_h: float
+    norm_c: float
+    objective_sense: str = "min"
+    objective_constant: float = 0.0
+
+
+def _colscale(M, scale: np.ndarray):
+    """Return M with columns scaled (dense or scipy-sparse)."""
+    if _sp is not None and _sp.issparse(M):
+        return (M @ _sp.diags(scale)).tocsc()
+    return np.asarray(M) * scale[None, :]
+
+
+def _tocsc(M):
+    if _sp is not None and _sp.issparse(M):
+        return M.tocsc()
+    return np.asarray(M, dtype=np.float64)
+
+
+def preprocess(problem: ConicProblem) -> SetupProblem:
+    """Cone-first permutation + sqrt(2) triangle scaling.
+
+    Mirrors reference preprocess! (src/scaling.jl:2-26) and norm_scaling
+    (src/scaling.jl:28-58) as pure index/column transforms applied once on
+    the host — nothing dynamic remains for the device loop.
+    """
+    n = problem.n
+    cone_vars = problem.sdp_vars + problem.soc_vars
+    if cone_vars:
+        all_cone = np.concatenate(cone_vars)
+        mask = np.ones(n, dtype=bool)
+        mask[all_cone] = False
+        extra = np.nonzero(mask)[0]
+        ord_ = np.concatenate([all_cone, extra])
+    else:
+        ord_ = np.arange(n)
+    var_ordering = np.argsort(ord_, kind="stable")
+
+    A = _tocsc(problem.A)[:, ord_]
+    G = _tocsc(problem.G)[:, ord_]
+    c = problem.c[ord_]
+
+    layout = ConeLayout(
+        n=n,
+        p=problem.p,
+        m=problem.m,
+        sdp_sides=problem.sdp_sides,
+        soc_lens=problem.soc_lens,
+    )
+
+    # norms of the ORIGINAL (pre-scaling) data; reference computes them at
+    # the very top of chambolle_pock (src/pdhg.jl:14-16)
+    norm_b = float(np.linalg.norm(problem.b)) if problem.p else 0.0
+    norm_h = float(np.linalg.norm(problem.h)) if problem.m else 0.0
+    norm_c = float(np.linalg.norm(problem.c))
+
+    A_orig, G_orig = A.copy(), G.copy()
+    b_orig, h_orig, c_orig = problem.b.copy(), problem.h.copy(), c.copy()
+
+    # sqrt(2)/2 scaling of off-diagonal triangle columns (scaling.jl:28-58)
+    scale = np.ones(n)
+    cte = np.sqrt(2.0) / 2.0
+    for off, side in zip(layout.sdp_offsets, layout.sdp_sides):
+        mask_off = offdiag_mask_tri(side)
+        scale[off : off + sympackedlen(side)] = np.where(mask_off, cte, 1.0)
+    A_s = _colscale(A, scale) if problem.p else A
+    G_s = _colscale(G, scale) if problem.m else G
+    c_s = c * scale
+
+    return SetupProblem(
+        layout=layout,
+        A=A_s,
+        G=G_s,
+        b=problem.b.copy(),
+        h=problem.h.copy(),
+        c=c_s,
+        A_orig=A_orig,
+        G_orig=G_orig,
+        b_orig=b_orig,
+        h_orig=h_orig,
+        c_orig=c_orig,
+        var_ordering=var_ordering,
+        norm_b=norm_b,
+        norm_h=norm_h,
+        norm_c=norm_c,
+        objective_sense=problem.objective_sense,
+        objective_constant=problem.objective_constant,
+    )
+
+

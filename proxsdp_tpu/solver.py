@@ -1,0 +1,986 @@
+"""PDHG (Chambolle-Pock) solver core — TPU-native.
+
+Re-design of the reference's chambolle_pock loop (src/pdhg.jl:1-530) as a
+pure ``state -> state`` function compiled once per problem geometry:
+
+* the fixed-point iteration runs inside ``jax.lax.while_loop`` in CHUNKS —
+  the device iterates flat-out for ``chunk_iters`` iterations (or until a
+  status is set), and only then does the host sync a handful of scalars to
+  handle wall-clock limits, logging, and certificate-search re-entry
+  (reference does these every iteration from Julia; here they cost one
+  device round-trip per chunk);
+* all data-dependent control (Malitsky-Pock linesearch backtracking,
+  adaptive beta, adaptive target-rank, stall/divergence detection) is
+  branch-free scalar arithmetic carried in the state;
+* the PSD projection uses a static-shape Lanczos with masked adaptive rank
+  and a ``lax.cond`` fallback to dense eigh (ops/cones.py, ops/lanczos.py);
+* the rolling stall-detection windows (reference CircularVector,
+  src/structs.jl:2-30) are fixed-size arrays with modular indexing.
+
+Certificate search (reference src/pdhg.jl:639-676): handled by the host
+driver — it snapshots the solution, swaps the (same-shape) operands for the
+zeroed-out versions, extends budgets, and re-enters the SAME compiled loop.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .options import Options
+from .problem import ConeLayout, ConicProblem, SetupProblem, preprocess
+from .result import STATUS_STRINGS, Result
+from .ops.cones import box_projection, psd_projection_block, soc_projection_block
+from .ops.linop import build_linop
+from .equilibration import equilibrate_host
+from .utils.vech import offdiag_mask_tri, sympackedlen
+
+
+class Operands(NamedTuple):
+    """Device-side problem data (pytree; values can change without re-jit)."""
+
+    M: object  # DenseOp | CooOp for [A; G]
+    b: jax.Array
+    h: jax.Array
+    c: jax.Array
+    norm_b: jax.Array
+    norm_h: jax.Array
+    norm_c: jax.Array
+    chunk_end: jax.Array  # i32: run while iter < chunk_end
+
+
+class State(NamedTuple):
+    # primal/dual iterates (reference PrimalDual + AuxiliaryData)
+    x: jax.Array
+    x_old: jax.Array
+    y: jax.Array
+    y_old: jax.Array
+    Mx: jax.Array
+    Mx_old: jax.Array
+    Mty: jax.Array
+    Mty_old: jax.Array
+    # step/control scalars (reference Params)
+    primal_step: jax.Array
+    primal_step_old: jax.Array
+    dual_step: jax.Array
+    theta: jax.Array
+    beta: jax.Array
+    adapt_level: jax.Array
+    iter: jax.Array  # i32, number of completed iterations
+    status: jax.Array  # i32, 0 = running
+    rank_update: jax.Array
+    update_cont: jax.Array
+    ada_count: jax.Array
+    target_rank: jax.Array  # i32[nblocks]
+    current_rank: jax.Array  # i32[nblocks]
+    min_eig: jax.Array  # f[nblocks]
+    # rolling windows, length 2*convergence_window (CircularVector analog)
+    buf_gap: jax.Array
+    buf_prim_obj: jax.Array
+    buf_dual_obj: jax.Array
+    buf_feas: jax.Array
+    buf_pres: jax.Array
+    buf_dres: jax.Array
+    buf_comb: jax.Array
+    equa_feas: jax.Array
+    ineq_feas: jax.Array
+    max_soc_gap: jax.Array
+    # Lanczos warm-start vectors, one per PSD block (tuple of (side,) arrays)
+    warm: tuple
+    # certificate-search flags (host sets these between chunks)
+    cert_mode: jax.Array  # bool
+    cert_wait_until: jax.Array  # i32
+
+
+def _nblocks(layout: ConeLayout) -> int:
+    return max(len(layout.sdp_sides), 1)
+
+
+def init_state(layout: ConeLayout, opts: Options, setup: SetupProblem) -> State:
+    """Initial solver state (reference pdhg.jl:97-142).
+
+    Built entirely with NumPy on the host — zero device round-trips; the
+    first jitted chunk call transfers everything at once (this matters when
+    the device sits behind a network tunnel).
+    """
+    dtype = np.float64 if opts.dtype == "float64" else np.float32
+    n, pm = layout.n, layout.p + layout.m
+    nb = _nblocks(layout)
+    L = 2 * opts.convergence_window
+    z = lambda *s: np.zeros(s, dtype)
+
+    from .ops.linop import stack_vertical
+
+    M_host = stack_vertical(setup.A, setup.G)
+
+    # step sizes: tau = 1 / ||M|| (pdhg.jl:108-133)
+    if opts.approx_norm:
+        if hasattr(M_host, "multiply"):  # scipy sparse
+            sn = float(np.sqrt(M_host.multiply(M_host).sum()))
+        else:
+            sn = float(np.linalg.norm(M_host))
+    else:
+        sn = _power_norm_host(M_host, n, opts.power_iters)
+    if sn < 1e-10:
+        sn = 1.0
+    step = 1.0 / sn
+
+    x0 = (step * setup.c).astype(dtype) if opts.advanced_initialization else z(n)
+    Mx0 = np.asarray(M_host @ x0, dtype=dtype).ravel() if pm else z(pm)
+
+    rng = np.random.RandomState(opts.eigsolver_resid_seed)
+    warm = []
+    for side in layout.sdp_sides:
+        v = rng.randn(side)
+        v /= max(np.linalg.norm(v), 1e-12)
+        warm.append(v.astype(dtype))
+    if not layout.sdp_sides:
+        warm.append(z(1))
+
+    return State(
+        x=x0,
+        x_old=z(n),
+        y=z(pm),
+        y_old=z(pm),
+        Mx=Mx0,
+        Mx_old=z(pm),
+        Mty=z(n),
+        Mty_old=z(n),
+        primal_step=dtype(step),
+        primal_step_old=dtype(step),
+        dual_step=dtype(step),
+        theta=dtype(opts.initial_theta),
+        beta=dtype(opts.initial_beta),
+        adapt_level=dtype(opts.initial_adapt_level),
+        iter=np.int32(0),
+        status=np.int32(0),
+        rank_update=np.int32(0),
+        update_cont=np.int32(0),
+        ada_count=np.int32(0),
+        target_rank=np.full((nb,), 2, np.int32),
+        current_rank=np.full((nb,), 2, np.int32),
+        min_eig=z(nb),
+        buf_gap=z(L),
+        buf_prim_obj=z(L),
+        buf_dual_obj=z(L),
+        buf_feas=z(L),
+        buf_pres=z(L),
+        buf_dres=z(L),
+        buf_comb=z(L),
+        equa_feas=dtype(0.0),
+        ineq_feas=dtype(0.0),
+        max_soc_gap=dtype(-np.inf),
+        warm=tuple(warm),
+        cert_mode=np.bool_(False),
+        cert_wait_until=np.int32(0),
+    )
+
+
+def _power_norm_host(M, n, iters):
+    """Spectral norm via host-side power iteration on M'M (deterministic)."""
+    v = np.ones(n) / np.sqrt(n)
+    for _ in range(iters):
+        w = M.T @ (M @ v)
+        nw = np.linalg.norm(w)
+        if nw < 1e-30:
+            return 0.0
+        v = np.asarray(w).ravel() / nw
+    return float(np.linalg.norm(M @ v))
+
+
+def _norm_inf(v):
+    return jnp.max(jnp.abs(v)) if v.shape[0] else jnp.asarray(0.0, v.dtype)
+
+
+def _norm2(v):
+    return jnp.sqrt(jnp.sum(v * v))
+
+
+def _max_abs_cyclic_diff(buf):
+    """max_i |v[i] - v[i-1]| over the cyclic buffer (structs.jl:14-20)."""
+    return jnp.max(jnp.abs(buf - jnp.roll(buf, 1)))
+
+
+def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
+    """x <- proj_K(x - tau*(M'y + c)); Mx <- Mx (pdhg.jl:611-637)."""
+    x = s.x - s.primal_step * (s.Mty + o.c)
+
+    min_eig = s.min_eig
+    current_rank = s.current_rank
+    warm = list(s.warm)
+    max_soc_gap = jnp.asarray(-jnp.inf, x.dtype)
+
+    for bi, (off, side) in enumerate(zip(layout.sdp_offsets, layout.sdp_sides)):
+        tl = sympackedlen(side)
+        res = psd_projection_block(
+            jax.lax.dynamic_slice(x, (off,), (tl,)),
+            side,
+            s.target_rank[bi],
+            s.warm[bi],
+            opt=opts,
+            allow_lanczos=True,
+        )
+        x = jax.lax.dynamic_update_slice(x, res.block, (off,))
+        min_eig = min_eig.at[bi].set(res.min_eig.astype(min_eig.dtype))
+        current_rank = current_rank.at[bi].set(res.current_rank)
+        warm[bi] = res.warm
+
+    for off, ln in zip(layout.soc_offsets, layout.soc_lens):
+        blk = jax.lax.dynamic_slice(x, (off,), (ln,))
+        proj = soc_projection_block(blk)
+        x = jax.lax.dynamic_update_slice(x, proj, (off,))
+        gap = _norm2(proj[1:]) - proj[0]  # residuals.jl:83-86 on projected x
+        max_soc_gap = jnp.maximum(max_soc_gap, gap)
+
+    Mx = o.M.matvec(x)
+    return s._replace(
+        x=x,
+        Mx=Mx,
+        min_eig=min_eig,
+        current_rank=current_rank,
+        warm=tuple(warm),
+        max_soc_gap=max_soc_gap,
+    )
+
+
+def _linesearch(s: State, o: Operands, layout: ConeLayout, opts: Options):
+    """Malitsky-Pock backtracking dual step (pdhg.jl:532-582)."""
+    p_, m_ = layout.p, layout.m
+    ps0 = s.primal_step * jnp.sqrt(1.0 + s.theta)
+
+    class Carry(NamedTuple):
+        ps: jax.Array
+        theta: jax.Array
+        y_temp: jax.Array
+        Mty: jax.Array
+        done: jax.Array
+        i: jax.Array
+
+    def cond(c: Carry):
+        return (~c.done) & (c.i < opts.max_linsearch_steps)
+
+    def body(c: Carry):
+        theta = c.ps / s.primal_step_old
+        bp = s.beta * c.ps
+        y_half = s.y + bp * ((1.0 + theta) * s.Mx - theta * s.Mx_old)
+        y_proj = box_projection(y_half, o.b, o.h, bp, p_, m_)
+        y_temp = y_half - bp * y_proj
+        Mty = o.M.rmatvec(y_temp)
+        ok = jnp.sqrt(s.beta) * c.ps * _norm2(Mty - s.Mty_old) <= (
+            opts.delta * _norm2(y_temp - s.y_old)
+        )
+        ps_next = jnp.where(ok, c.ps, c.ps * opts.linsearch_decay)
+        return Carry(ps=ps_next, theta=theta, y_temp=y_temp, Mty=Mty, done=ok, i=c.i + 1)
+
+    c0 = Carry(
+        ps=ps0,
+        theta=s.theta,
+        y_temp=jnp.zeros_like(s.y),
+        Mty=jnp.zeros_like(s.Mty),
+        done=jnp.asarray(False),
+        i=jnp.asarray(0, jnp.int32),
+    )
+    c = jax.lax.while_loop(cond, body, c0)
+    return s._replace(
+        y=c.y_temp,
+        Mty=c.Mty,
+        theta=c.theta,
+        primal_step=c.ps,
+        primal_step_old=c.ps,
+        dual_step=s.beta * c.ps,
+    )
+
+
+def _dual_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
+    """Fixed-step dual update (pdhg.jl:584-609)."""
+    y_half = s.y + s.dual_step * (2.0 * s.Mx - s.Mx_old)
+    y_proj = box_projection(y_half, o.b, o.h, s.dual_step, layout.p, layout.m)
+    y_temp = y_half - s.dual_step * y_proj
+    Mty = o.M.rmatvec(y_temp)
+    return s._replace(y=y_temp, Mty=Mty, primal_step_old=s.primal_step)
+
+
+def _residuals_and_gap(s: State, o: Operands, layout: ConeLayout, opts: Options):
+    """compute_residual! + compute_gap! (residuals.jl:2-71)."""
+    n, p_, m_ = layout.n, layout.p, layout.m
+    L = s.buf_gap.shape[0]
+    k = s.iter + 1
+    idx = (k - 1) % L
+    dtype = s.x.dtype
+
+    # primal PPA residual
+    Px_old = s.x_old - s.primal_step * s.Mty_old
+    Px = s.x - s.primal_step * s.Mty
+    pres = (
+        jnp.sqrt(float(n))
+        * _norm_inf(Px - Px_old)
+        / jnp.maximum(
+            jnp.maximum(_norm_inf(Px_old), jnp.maximum(o.norm_b, o.norm_h)), 1.0
+        )
+    )
+    # dual PPA residual
+    Py_old = s.y_old - s.dual_step * s.Mx_old
+    Py = s.y - s.dual_step * s.Mx
+    dres = (
+        jnp.sqrt(float(p_ + m_))
+        * _norm_inf(Py - Py_old)
+        / jnp.maximum(jnp.maximum(_norm_inf(Py_old), o.norm_c), 1.0)
+    )
+    comb = jnp.maximum(pres, dres)
+
+    # feasibility (one-sided for inequalities; residuals.jl:4-19)
+    equa = (
+        _norm_inf(s.Mx[:p_] - o.b) / (1.0 + o.norm_b) if p_ else s.equa_feas
+    )
+    ineq = (
+        jnp.max(s.Mx[p_:] - o.h) / (1.0 + o.norm_h) if m_ else s.ineq_feas
+    )
+    feas = jnp.maximum(equa if p_ else jnp.asarray(0.0, dtype),
+                       ineq if m_ else jnp.asarray(0.0, dtype))
+
+    prim_obj = jnp.dot(o.c, s.x)
+    dual_obj = jnp.asarray(0.0, dtype)
+    if p_:
+        dual_obj = dual_obj - jnp.dot(o.b, s.y[:p_])
+    if m_:
+        dual_obj = dual_obj - jnp.dot(o.h, s.y[p_:])
+    gap = jnp.abs(prim_obj - dual_obj) / (1.0 + jnp.abs(prim_obj) + jnp.abs(dual_obj))
+
+    return s._replace(
+        x_old=s.x,
+        y_old=s.y,
+        Mty_old=s.Mty,
+        Mx_old=s.Mx,
+        buf_pres=s.buf_pres.at[idx].set(pres),
+        buf_dres=s.buf_dres.at[idx].set(dres),
+        buf_comb=s.buf_comb.at[idx].set(comb),
+        buf_feas=s.buf_feas.at[idx].set(feas),
+        buf_gap=s.buf_gap.at[idx].set(gap),
+        buf_prim_obj=s.buf_prim_obj.at[idx].set(prim_obj),
+        buf_dual_obj=s.buf_dual_obj.at[idx].set(dual_obj),
+        equa_feas=equa if p_ else s.equa_feas,
+        ineq_feas=ineq if m_ else s.ineq_feas,
+    )
+
+
+def _bump_ranks(target, current, min_eig, sides_arr, opts: Options):
+    """Adaptive target-rank increment (pdhg.jl:270-280, 289-303)."""
+    eligible = ((current + opts.rank_slack) >= target) & (
+        min_eig > opts.tol_psd
+    )
+    if opts.rank_increment == 0:
+        new = target * opts.rank_increment_factor
+    else:
+        new = target + opts.rank_increment_factor
+    new = jnp.minimum(new, sides_arr)
+    return jnp.where(eligible, new, target)
+
+
+def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
+    """Convergence / rank-update / divergence / adaptive-step branching +
+    in-loop infeasibility detection (pdhg.jl:246-332, 390-483)."""
+    k = s.iter + 1
+    L = s.buf_gap.shape[0]
+    idx = (k - 1) % L
+    w = opts.convergence_window
+    nb = _nblocks(layout)
+    sides_arr = jnp.asarray(
+        list(layout.sdp_sides) if layout.sdp_sides else [1], jnp.int32
+    )
+
+    gap_k = s.buf_gap[idx]
+    feas_k = s.buf_feas[idx]
+    pres_k = s.buf_pres[idx]
+    dres_k = s.buf_dres[idx]
+    comb_k = s.buf_comb[idx]
+    prim_k = s.buf_prim_obj[idx]
+    dual_k = s.buf_dual_obj[idx]
+    comb_back = s.buf_comb[(k - w - 1) % L]
+
+    # in certificate mode nothing below runs until the wait expires
+    active = ~(s.cert_mode & (k < s.cert_wait_until))
+
+    rank_update = s.rank_update + jnp.where(active, 1, 0)
+
+    # --- rank convergence (residuals.jl:88-101) on the CURRENT projection
+    if layout.sdp_sides:
+        blk_conv = (
+            (sides_arr < opts.min_size_krylov_eigs)
+            | (s.target_rank > opts.max_target_rank_krylov_eigs)
+            | (s.min_eig < opts.tol_psd)
+        )
+        rank_conv = jnp.all(blk_conv)
+    else:
+        rank_conv = jnp.asarray(True)
+    soc_conv = (
+        s.max_soc_gap < opts.tol_soc if layout.soc_lens else jnp.asarray(True)
+    )
+
+    conv = (gap_k <= opts.tol_gap) & (feas_k <= opts.tol_feasibility)
+    opt_ok = conv & rank_conv & soc_conv & (k > opts.min_iter)
+
+    status = jnp.where(active & opt_ok & (s.status == 0), 1, s.status)
+
+    # --- branch 1b: converged gap/feas but rank not settled -> bump ranks
+    b1 = active & conv & ~opt_ok & (rank_update > w)
+    # --- branch 2: divergence (comb residual increasing over the window)
+    b2 = active & ~conv & (k > w) & (comb_back < comb_k) & (rank_update > w)
+    update_cont = s.update_cont + jnp.where(b1 | b2, 1, 0)
+    do_bump1 = b1  # update_cont > 0 always holds right after increment
+    do_bump2 = b2 & (update_cont > opts.divergence_min_update)
+
+    new_target = _bump_ranks(s.target_rank, s.current_rank, s.min_eig, sides_arr, opts)
+    target_rank = jnp.where(do_bump1 | do_bump2, new_target, s.target_rank)
+
+    any_not_full = (
+        jnp.any(s.target_rank < sides_arr) if layout.sdp_sides else jnp.asarray(False)
+    )
+    reset = do_bump1 | (do_bump2 & any_not_full)
+    rank_update = jnp.where(reset, 0, rank_update)
+    update_cont = jnp.where(reset, 0, update_cont)
+
+    # --- branches 3/4: adaptive step-size balance (pdhg.jl:306-332)
+    b3 = active & ~conv & ~b2 & (pres_k > opts.tol_primal) & (dres_k < opts.tol_dual) & (k > w)
+    b4 = (
+        active & ~conv & ~b2 & ~b3
+        & (pres_k < opts.tol_primal) & (dres_k > opts.tol_dual) & (k > w)
+    )
+    ada_count = s.ada_count + jnp.where(b3 | b4, 1, 0)
+    fire3 = b3 & (ada_count > opts.adapt_window)
+    fire4 = b4 & (ada_count > opts.adapt_window)
+    ada_count = jnp.where(fire3 | fire4, 0, ada_count)
+    al = s.adapt_level
+    if opts.line_search_flag:
+        beta = jnp.where(fire3, s.beta * (1.0 - al), s.beta)
+        beta = jnp.where(fire4, beta / (1.0 - al), beta)
+        primal_step = jnp.where(fire3, s.primal_step / jnp.sqrt(1.0 - al), s.primal_step)
+        primal_step = jnp.where(fire4, primal_step * jnp.sqrt(1.0 - al), primal_step)
+        dual_step = s.dual_step
+    else:
+        beta = s.beta
+        primal_step = jnp.where(fire3, s.primal_step / (1.0 - al), s.primal_step)
+        primal_step = jnp.where(fire4, primal_step * (1.0 - al), primal_step)
+        dual_step = jnp.where(fire3, s.dual_step * (1.0 - al), s.dual_step)
+        dual_step = jnp.where(fire4, dual_step / (1.0 - al), dual_step)
+    adapt_level = jnp.where(fire3 | fire4, al * opts.adapt_decay, al)
+
+    # --- in-loop infeasibility/unboundedness detection (not in cert mode)
+    det = active & ~s.cert_mode & (status == 0)
+    isnan = jnp.isnan
+    after_min = k > opts.min_iter_max_obj
+    c_inf1 = (after_min & (dual_k > opts.max_obj)) | isnan(dual_k)
+    c_unb1 = (after_min & (prim_k < -opts.max_obj)) | isnan(prim_k)
+    stalled_feas = (
+        after_min
+        & (gap_k > opts.infeas_limit_gap_tol)
+        & (feas_k > opts.infeas_feasibility_tol)
+        & (_max_abs_cyclic_diff(s.buf_feas) < opts.infeas_stable_feasibility_tol)
+    )
+    stall100 = (
+        after_min
+        & (gap_k > 1.0 - opts.infeas_gap_tol)
+        & (_max_abs_cyclic_diff(s.buf_gap) < opts.infeas_stable_gap_tol)
+    )
+    c_inf3 = stall100 & (jnp.abs(dual_k) > jnp.abs(prim_k)) & (
+        feas_k > opts.infeas_feasibility_tol
+    )
+    c_unb2 = stall100 & (jnp.abs(prim_k) > jnp.abs(dual_k)) & (
+        feas_k <= opts.tol_feasibility
+    )
+    # apply in reference order; first hit wins
+    status = jnp.where(det & c_inf1, 6, status)
+    status = jnp.where(det & (status == 0) & c_unb1, 5, status)
+    status = jnp.where(det & (status == 0) & stalled_feas, 6, status)
+    status = jnp.where(det & (status == 0) & c_inf3, 6, status)
+    status = jnp.where(det & (status == 0) & c_unb2, 5, status)
+
+    return s._replace(
+        status=status,
+        rank_update=rank_update,
+        update_cont=update_cont,
+        ada_count=ada_count,
+        target_rank=target_rank,
+        beta=beta,
+        primal_step=primal_step,
+        dual_step=dual_step,
+        adapt_level=adapt_level,
+        iter=k,
+    )
+
+
+def make_chunk_runner(layout: ConeLayout, opts: Options):
+    """Build the jitted chunk executor for a given problem geometry."""
+
+    def iteration(s: State, o: Operands) -> State:
+        s = _primal_step(s, o, layout, opts)
+        if opts.line_search_flag:
+            s = _linesearch(s, o, layout, opts)
+        else:
+            s = _dual_step(s, o, layout, opts)
+        s = _residuals_and_gap(s, o, layout, opts)
+        s = _control(s, o, layout, opts)
+        return s
+
+    def run_chunk(s: State, o: Operands) -> State:
+        def cond(s: State):
+            return (s.status == 0) & (s.iter < o.chunk_end)
+
+        def body(s: State):
+            return iteration(s, o)
+
+        return jax.lax.while_loop(cond, body, s)
+
+    def fetch(s: State):
+        """All host-monitored scalars in ONE transfer (tunnel-friendly)."""
+        L = s.buf_gap.shape[0]
+        i = (s.iter - 1) % L
+        ft = s.buf_gap.dtype
+        return jnp.stack(
+            [
+                s.iter.astype(ft),
+                s.status.astype(ft),
+                s.buf_gap[i],
+                s.buf_feas[i],
+                s.buf_prim_obj[i],
+                s.buf_dual_obj[i],
+                s.buf_pres[i],
+                s.buf_dres[i],
+                s.buf_comb[i],
+                jnp.sum(s.target_rank).astype(ft),
+            ]
+        )
+
+    return jax.jit(run_chunk), iteration, jax.jit(fetch)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_runner(layout: ConeLayout, opts: Options):
+    return make_chunk_runner(layout, opts)
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+
+def _fix_diag_scaling(x: np.ndarray, layout: ConeLayout, num: float) -> np.ndarray:
+    """Divide off-diagonal triangle entries by ``num`` (pdhg.jl:734-743)."""
+    x = x.copy()
+    for off, side in zip(layout.sdp_offsets, layout.sdp_sides):
+        tl = sympackedlen(side)
+        mask = offdiag_mask_tri(side)
+        x[off : off + tl][mask] /= num
+    return x
+
+
+def _cone_feas(v: np.ndarray, layout: ConeLayout) -> float:
+    """Max violation of v against K (reference cone_feas, pdhg.jl:678-699)."""
+    from .utils.vech import ivec
+
+    viol = 0.0
+    sq2 = np.sqrt(2.0)
+    for off, side in zip(layout.sdp_offsets, layout.sdp_sides):
+        tl = sympackedlen(side)
+        blk = v[off : off + tl].copy()
+        mask = offdiag_mask_tri(side)
+        blk[mask] /= sq2
+        if side == 1:
+            viol = max(viol, -min(0.0, blk[0]))
+        else:
+            w = np.linalg.eigvalsh(ivec(blk))
+            viol = max(viol, -min(0.0, w.min()))
+    for off, ln in zip(layout.soc_offsets, layout.soc_lens):
+        sblk = v[off : off + ln]
+        viol = max(viol, -min(0.0, sblk[0] - np.linalg.norm(sblk[1:])))
+    return viol
+
+
+def _dual_feas_host(
+    y: np.ndarray, setup: SetupProblem, c_used: np.ndarray
+) -> float:
+    """Dual feasibility violation (reference dual_feas, pdhg.jl:712-732)."""
+    layout = setup.layout
+    p_ = layout.p
+    dual_eq = y[:p_]
+    dual_in = y[p_:]
+    dual_cone = c_used + _TA(setup.A_orig, dual_eq, layout.n) + _TA(
+        setup.G_orig, dual_in, layout.n
+    )
+    dual_cone = _fix_diag_scaling(dual_cone, layout, 2.0)
+
+    ineq_viol = -min(0.0, dual_in.min()) if dual_in.size else 0.0
+    cone_viol = _cone_feas(dual_cone, layout)
+    tail = dual_cone[layout.cone_dim :]
+    zero_viol = np.abs(tail).max() if tail.size else 0.0
+    return max(cone_viol, ineq_viol, zero_viol)
+
+
+def _TA(M, y, n):
+    if y.size == 0:
+        return np.zeros(n)
+    return np.asarray(M.T @ y).ravel()
+
+
+class _Budget:
+    """Mutable iteration/time budgets (reference opt.max_iter_local +
+    certificate_parameters, pdhg.jl:670-676)."""
+
+    def __init__(self, opts: Options, has_cones: bool):
+        if opts.max_iter <= 0:
+            self.max_iter = opts.max_iter_conic if has_cones else opts.max_iter_lp
+        else:
+            self.max_iter = opts.max_iter
+        self.hard_cap = 2 * self.max_iter
+        self.time_limit = opts.time_limit
+
+
+def solve(problem, options: Options | None = None, **kwargs) -> Result:
+    """Solve a ConicProblem (or pre-built SetupProblem). Main entry point."""
+    opts = options or Options()
+    if kwargs:
+        opts = opts.replace(**kwargs)
+    if opts.check_dual_feas:
+        raise NotImplementedError(
+            "check_dual_feas inside the loop is not supported; dual "
+            "feasibility is always reported in the Result"
+        )
+
+    t0 = time.time()
+    setup = preprocess(problem) if isinstance(problem, ConicProblem) else problem
+    layout = setup.layout
+    dtype = jnp.float64 if opts.dtype == "float64" else jnp.float32
+
+    # optional diagonal preconditioning (reference pdhg.jl:64-92); mutates
+    # setup.A/G/b/h/c before the operator and step sizes are built
+    equil = None
+    if opts.equilibration or opts.equilibration_force:
+        equil = equilibrate_host(setup, opts)
+
+    M = build_linop(setup.A, setup.G, dtype)
+    operands = Operands(
+        M=M,
+        b=jnp.asarray(setup.b, dtype),
+        h=jnp.asarray(setup.h, dtype),
+        c=jnp.asarray(setup.c, dtype),
+        norm_b=jnp.asarray(setup.norm_b, dtype),
+        norm_h=jnp.asarray(setup.norm_h, dtype),
+        norm_c=jnp.asarray(setup.norm_c, dtype),
+        chunk_end=jnp.asarray(0, jnp.int32),
+    )
+
+    run_chunk, _, fetch = _cached_runner(layout, opts)
+    state = init_state(layout, opts, setup)
+
+    budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
+    chunk = opts.chunk_iters or max(opts.convergence_check, 50)
+    log_next = opts.log_freq
+
+    cert_ctx = {
+        "snapshot": None,  # Result cached when declaring 5/6
+        "mode": 0,  # 0 none, 5/6 = the status being certified
+        "found": False,
+        "fail_reason": "",
+    }
+
+    def fetch_scalars(s):
+        v = np.asarray(fetch(s))  # one device->host transfer
+        return {
+            "iter": int(v[0]),
+            "status": int(v[1]),
+            "gap": float(v[2]),
+            "feas": float(v[3]),
+            "prim_obj": float(v[4]),
+            "dual_obj": float(v[5]),
+            "pres": float(v[6]),
+            "dres": float(v[7]),
+            "comb": float(v[8]),
+            "sum_target_rank": int(v[9]),
+        }
+
+    final_status = None
+    status_string = None
+
+    while True:
+        k0 = int(state.iter)
+        cap = budget.hard_cap if cert_ctx["mode"] != 0 else budget.max_iter
+        # if the clock already ran out, run a single iteration so the limit
+        # handler sees fresh residuals (reference checks time every iter)
+        step_n = 1 if (time.time() - t0) >= budget.time_limit else chunk
+        target = max(min(k0 + step_n, cap), k0 + 1)
+        operands = operands._replace(chunk_end=jnp.asarray(target, jnp.int32))
+        state = run_chunk(state, operands)
+        sc = fetch_scalars(state)
+        k, st = sc["iter"], sc["status"]
+        elapsed = time.time() - t0
+
+        if opts.log_verbose and k >= log_next:
+            _log_progress(sc, state, elapsed)
+            log_next += opts.log_freq
+
+        in_cert = cert_ctx["mode"] != 0
+
+        # ----- certificate-search monitoring (reference pdhg.jl:184-244)
+        if in_cert and k >= int(state.cert_wait_until):
+            done, found, fail = _check_certificate(
+                sc, state, setup, opts, cert_ctx["mode"]
+            )
+            if done:
+                cert_ctx["found"] = found
+                final_status = cert_ctx["mode"]
+                status_string = STATUS_STRINGS[final_status] + (
+                    " [Dual ray found]" if (found and final_status == 6)
+                    else " [Primal ray found]" if found
+                    else " [Failed to find certificate]"
+                )
+                break
+            if st == 1:
+                # converged while searching: "failed to find certificate - 2"
+                final_status = cert_ctx["mode"]
+                status_string = (
+                    STATUS_STRINGS[final_status]
+                    + " [Failed to find certificate - type 2]"
+                )
+                break
+
+        # ----- normal termination
+        if st == 1 and not in_cert:
+            final_status = 1
+            break
+
+        if st in (5, 6) and not in_cert:
+            if opts.certificate_search:
+                cert_ctx["snapshot"] = _cache_solution(
+                    state, setup, opts, t0, status=st,
+                    status_string=_declare_string(st, sc), equil=equil,
+                )
+                operands, state, budget = _enter_certificate_mode(
+                    st, operands, state, budget, opts, setup, dtype
+                )
+                cert_ctx["mode"] = st
+                continue
+            final_status = st
+            status_string = _declare_string(st, sc)
+            break
+
+        # ----- iteration / time limits (reference pdhg.jl:335-382)
+        if st == 0 and (k >= budget.max_iter or elapsed >= budget.time_limit):
+            lim_status, lim_string = _limit_status(sc, state, opts, budget, k, elapsed)
+            if lim_status in (5, 6) and opts.certificate_search and not in_cert:
+                cert_ctx["snapshot"] = _cache_solution(
+                    state, setup, opts, t0, status=lim_status,
+                    status_string=lim_string, equil=equil,
+                )
+                operands, state, budget = _enter_certificate_mode(
+                    lim_status, operands, state, budget, opts, setup, dtype
+                )
+                cert_ctx["mode"] = lim_status
+                continue
+            final_status = lim_status
+            status_string = lim_string
+            break
+
+        if in_cert and (k >= budget.hard_cap or elapsed >= budget.time_limit):
+            final_status = cert_ctx["mode"]
+            status_string = (
+                STATUS_STRINGS[final_status] + " [Failed to find certificate]"
+            )
+            break
+
+        if k >= budget.hard_cap:
+            final_status = 3
+            status_string = f"Iteration limit of {budget.max_iter} was hit"
+            break
+
+    # ----- build result (reference pdhg.jl:486-529, cache_solution :745-787)
+    if cert_ctx["mode"] != 0:
+        assert cert_ctx["snapshot"] is not None
+        if cert_ctx["found"]:
+            res = _cache_solution(
+                state, setup, opts, t0,
+                status=final_status,
+                status_string=status_string,
+                zero_c=(final_status == 6),
+                certificate_found=True,
+                equil=equil,
+            )
+        else:
+            res = cert_ctx["snapshot"]
+            res.status_string = status_string or res.status_string
+            res.time = time.time() - t0
+    else:
+        res = _cache_solution(
+            state, setup, opts, t0, status=final_status,
+            status_string=status_string or STATUS_STRINGS[final_status],
+            equil=equil,
+        )
+
+    if opts.log_verbose:
+        _log_final(res)
+    return res
+
+
+def _declare_string(st, sc):
+    if st == 5:
+        return f"Unbounded: |Primal objective| = {sc['prim_obj']:.3e} too large"
+    return f"Infeasible: detected during iteration (dual objective {sc['dual_obj']:.3e})"
+
+
+def _limit_status(sc, state, opts: Options, budget: _Budget, k: int, elapsed: float):
+    """Limit-time infeasibility heuristics (reference pdhg.jl:335-378)."""
+    buf_gap = np.asarray(state.buf_gap)
+    stable_gap = float(np.max(np.abs(buf_gap - np.roll(buf_gap, 1))))
+    if (
+        k > opts.min_iter_time_infeas
+        and stable_gap < opts.infeas_stable_gap_tol
+        and sc["gap"] > opts.infeas_limit_gap_tol
+    ):
+        if sc["feas"] <= opts.tol_feasibility / 100:
+            return 5, "Problem declared unbounded due to lack of improvement"
+        if sc["feas"] > opts.infeas_feasibility_tol:
+            return 6, "Problem declared infeasible due to lack of improvement"
+    if k >= budget.max_iter:
+        return 3, f"Iteration limit of {budget.max_iter} was hit"
+    return 2, f"Time limit hit, limit: {budget.time_limit} time: {elapsed}"
+
+
+def _enter_certificate_mode(st, operands, state, budget, opts, setup, dtype):
+    """Zero out c (infeasible) or b,h (unbounded) and extend budgets
+    (reference certificate_infeasibility / certificate_dual_infeasibility,
+    pdhg.jl:639-676).  Same shapes -> the compiled loop is reused."""
+    if st == 6:
+        operands = operands._replace(c=jnp.zeros_like(operands.c))
+    else:
+        operands = operands._replace(
+            b=jnp.zeros_like(operands.b), h=jnp.zeros_like(operands.h)
+        )
+    k = int(state.iter)
+    wait = k + 2 * opts.convergence_window + k // 5 + 1000
+    state = state._replace(
+        cert_mode=jnp.asarray(True),
+        cert_wait_until=jnp.asarray(wait, jnp.int32),
+        status=jnp.asarray(0, jnp.int32),
+    )
+    budget.time_limit *= 1.1
+    budget.max_iter += budget.max_iter // 10
+    budget.hard_cap = max(budget.hard_cap, budget.max_iter + k)
+    return operands, state, budget
+
+
+def _check_certificate(sc, state, setup, opts: Options, mode: int):
+    """Host-side ray checks (reference pdhg.jl:184-244).
+
+    Returns (done, found, fail_string)."""
+    if mode == 6:
+        if sc["dual_obj"] > opts.certificate_obj_tol:
+            y = np.asarray(state.y, np.float64)
+            dfeas = _dual_feas_host(y, setup, 0.0 * setup.c_orig)
+            if dfeas < opts.tol_feasibility_dual:
+                return True, True, ""
+    else:  # mode == 5 (unbounded): look for a primal ray
+        if sc["prim_obj"] < -opts.certificate_obj_tol and (
+            sc["feas"] < opts.tol_feasibility
+        ):
+            return True, True, ""
+    ft = opts.certificate_fail_tol
+    if (
+        sc["prim_obj"] < -ft and sc["dual_obj"] < -ft and sc["feas"] < -ft
+    ) or np.isnan(sc["comb"]):
+        return True, False, "failed"
+    return False, False, ""
+
+
+def _cache_solution(
+    state: State,
+    setup: SetupProblem,
+    opts: Options,
+    t0: float,
+    status: int,
+    status_string: str | None = None,
+    zero_c: bool = False,
+    certificate_found: bool = False,
+    equil=None,
+) -> Result:
+    """Unscale, recover duals/slacks, build Result (pdhg.jl:745-787)."""
+    layout = setup.layout
+    k = int(state.iter)
+    L = state.buf_gap.shape[0]
+    i = (k - 1) % L
+
+    x = np.asarray(state.x, np.float64)
+    y = np.asarray(state.y, np.float64)
+    x = _fix_diag_scaling(x, layout, np.sqrt(2.0))
+    if equil is not None:  # undo E M D preconditioning (pdhg.jl:752-755)
+        x = equil.D * x
+        y = equil.E * y
+
+    c_used = (0.0 * setup.c_orig) if zero_c else setup.c_orig
+
+    slack_eq = np.asarray(setup.A_orig @ x).ravel() - setup.b_orig
+    slack_in = np.asarray(setup.G_orig @ x).ravel() - setup.h_orig
+
+    p_ = layout.p
+    dual_eq = y[:p_]
+    dual_in = y[p_:]
+    dual_cone = c_used + _TA(setup.A_orig, dual_eq, layout.n) + _TA(
+        setup.G_orig, dual_in, layout.n
+    )
+    dual_cone = _fix_diag_scaling(dual_cone, layout, 2.0)
+
+    ineq_viol = -min(0.0, dual_in.min()) if dual_in.size else 0.0
+    cone_viol = _cone_feas(dual_cone, layout)
+    tail = dual_cone[layout.cone_dim :]
+    zero_viol = np.abs(tail).max() if tail.size else 0.0
+    dual_feasibility = max(cone_viol, ineq_viol, zero_viol)
+
+    vo = setup.var_ordering
+    sense_mul = -1.0 if setup.objective_sense == "max" else 1.0
+    objval = float(state.buf_prim_obj[i])
+    dual_objval = float(state.buf_dual_obj[i])
+
+    return Result(
+        status=status,
+        status_string=status_string or STATUS_STRINGS[status],
+        primal=x[vo],
+        dual_cone=dual_cone[vo],
+        dual_eq=dual_eq,
+        dual_in=dual_in,
+        slack_eq=slack_eq,
+        slack_in=slack_in,
+        primal_residual=float(state.equa_feas),
+        dual_residual=float(state.ineq_feas),
+        objval=sense_mul * objval + setup.objective_constant,
+        dual_objval=sense_mul * dual_objval + setup.objective_constant,
+        gap=float(state.buf_gap[i]),
+        time=time.time() - t0,
+        iter=k,
+        final_rank=int(np.sum(np.asarray(state.current_rank))),
+        primal_feasible_user_tol=float(state.buf_feas[i]) <= opts.tol_feasibility,
+        dual_feasible_user_tol=dual_feasibility <= opts.tol_feasibility_dual,
+        certificate_found=certificate_found,
+        result_count=1,
+    )
+
+
+def _log_progress(sc, state, elapsed):
+    print(
+        f"  iter={sc['iter']:>8d}  obj={sc['prim_obj']:+.6e}  "
+        f"gap={sc['gap']:.2e}  feas={sc['feas']:.2e}  "
+        f"pres={sc['pres']:.2e}  dres={sc['dres']:.2e}  "
+        f"rank={sc['sum_target_rank']}  t={elapsed:.1f}s"
+    )
+
+
+def _log_final(res: Result):
+    print("-" * 74)
+    print(f"  status: {res.status_string}")
+    print(
+        f"  obj={res.objval:+.6e}  dual={res.dual_objval:+.6e}  "
+        f"gap={res.gap:.2e}  iters={res.iter}  rank={res.final_rank}  "
+        f"time={res.time:.2f}s"
+    )
+    print("-" * 74)

@@ -1,0 +1,138 @@
+"""Oracle tests for cone projections against NumPy/SciPy references."""
+
+import numpy as np
+import pytest
+
+from proxsdp_tpu.options import Options
+from proxsdp_tpu.ops.cones import (
+    box_projection,
+    psd_projection_block,
+    soc_projection_block,
+)
+from proxsdp_tpu.ops.lanczos import lanczos_topk
+from proxsdp_tpu.ops.tri import square_to_tri, tri_to_square
+from proxsdp_tpu.utils.vech import sympackedlen
+import jax.numpy as jnp
+
+
+def psd_oracle(X):
+    w, V = np.linalg.eigh(X)
+    return (V * np.maximum(w, 0.0)) @ V.T
+
+
+class TestSOC:
+    def test_interior(self):
+        blk = np.array([5.0, 3.0, 0.0])
+        out = np.asarray(soc_projection_block(jnp.asarray(blk)))
+        assert np.allclose(out, blk)
+
+    def test_polar(self):
+        blk = np.array([-5.0, 3.0, 0.0])
+        out = np.asarray(soc_projection_block(jnp.asarray(blk)))
+        assert np.allclose(out, 0.0)
+
+    def test_boundary_projection(self):
+        blk = np.array([0.0, 3.0, 4.0])
+        out = np.asarray(soc_projection_block(jnp.asarray(blk)))
+        # projection of (0, v): s = ||v||/2, v scaled to norm ||v||/2
+        assert np.isclose(out[0], 2.5)
+        assert np.isclose(np.linalg.norm(out[1:]), 2.5)
+
+    def test_zero(self):
+        out = np.asarray(soc_projection_block(jnp.zeros(4)))
+        assert np.allclose(out, 0.0)
+
+
+class TestBox:
+    def test_semantics(self, rng):
+        p, m = 3, 4
+        b, h = rng.randn(p), rng.randn(m)
+        v = rng.randn(p + m)
+        step = 0.7
+        out = np.asarray(
+            box_projection(jnp.asarray(v), jnp.asarray(b), jnp.asarray(h), step, p, m)
+        )
+        assert np.allclose(out[:p], b)
+        assert np.allclose(out[p:], np.minimum(v[p:] / step, h))
+
+
+class TestPSDFull:
+    @pytest.mark.parametrize("side", [2, 5, 17])
+    def test_matches_eigh_oracle(self, side, rng):
+        opts = Options()
+        S = rng.randn(side, side)
+        S = (S + S.T) / 2
+        v = np.asarray(square_to_tri(jnp.asarray(S), side))
+        res = psd_projection_block(
+            jnp.asarray(v), side, jnp.asarray(2, jnp.int32),
+            jnp.ones(side), opt=opts, allow_lanczos=True,
+        )
+        got = np.asarray(tri_to_square(res.block, side))
+        assert np.allclose(got, psd_oracle(S), atol=1e-10)
+        # full path reports min_eig = 0 (reference prox_operators.jl:114)
+        assert float(res.min_eig) == 0.0
+
+    def test_side1(self):
+        opts = Options()
+        for val, expect in [(3.0, 3.0), (-2.0, 0.0)]:
+            res = psd_projection_block(
+                jnp.asarray([val]), 1, jnp.asarray(1, jnp.int32),
+                jnp.ones(1), opt=opts, allow_lanczos=True,
+            )
+            assert np.isclose(float(res.block[0]), expect)
+
+
+class TestLanczos:
+    @pytest.mark.parametrize("n,k", [(50, 3), (120, 5)])
+    def test_topk_eigenpairs_gapped(self, n, k, rng):
+        """Spectrum with clear gaps: ncv=25 single-pass Lanczos nails it."""
+        spec = np.concatenate([[30.0, 20.0, 12.0, 8.0, 5.0][:k],
+                               rng.rand(n - k)])
+        Q = np.linalg.qr(rng.randn(n, n))[0]
+        A = (Q * spec[None, :]) @ Q.T
+        A = (A + A.T) / 2
+        out = lanczos_topk(jnp.asarray(A), jnp.asarray(rng.randn(n)), ncv=25)
+        w = np.linalg.eigvalsh(A)[::-1]
+        vals = np.asarray(out.vals)
+        assert np.allclose(vals[:k], w[:k], atol=1e-8)
+        # residual bounds are small for converged pairs
+        assert np.all(np.asarray(out.resid)[:k] < 1e-6)
+        # Ritz vectors are orthonormal and satisfy A v = lambda v
+        V = np.asarray(out.vecs)[:, :k]
+        assert np.allclose(V.T @ V, np.eye(k), atol=1e-8)
+        assert np.allclose(A @ V, V * vals[:k][None, :], atol=1e-6)
+
+    def test_residual_bound_self_consistency(self, rng):
+        """On a gapless random matrix the residual bound must honestly
+        report the achieved accuracy (the caller uses it to gate the
+        eigh fallback)."""
+        n = 60
+        A = rng.randn(n, n)
+        A = (A + A.T) / 2
+        out = lanczos_topk(jnp.asarray(A), jnp.asarray(rng.randn(n)), ncv=25)
+        w = np.linalg.eigvalsh(A)[::-1]
+        vals, resid = np.asarray(out.vals), np.asarray(out.resid)
+        for i in range(5):
+            # each Ritz value lies within its residual bound of SOME
+            # exact eigenvalue (standard Lanczos a-posteriori bound)
+            err = np.min(np.abs(vals[i] - w))
+            assert err <= resid[i] + 1e-9, (i, err, resid[i])
+
+    def test_lowrank_projection_path(self, rng):
+        """PSD block big enough to trigger Lanczos; low-rank spectrum so the
+        truncated projection equals the oracle."""
+        side = 150
+        opts = Options(min_size_krylov_eigs=100)
+        # rank-2 positive part + small negative tail
+        U = np.linalg.qr(rng.randn(side, 2))[0]
+        S = U @ np.diag([5.0, 3.0]) @ U.T - 0.01 * np.eye(side)
+        v = np.asarray(square_to_tri(jnp.asarray(S), side))
+        res = psd_projection_block(
+            jnp.asarray(v), side, jnp.asarray(2, jnp.int32),
+            jnp.asarray(rng.randn(side)), opt=opts, allow_lanczos=True,
+        )
+        got = np.asarray(tri_to_square(res.block, side))
+        assert np.allclose(got, psd_oracle(S), atol=1e-6)
+        assert int(res.current_rank) == 2
+        # min_eig is the smallest computed Ritz value among target_rank
+        assert float(res.min_eig) < opts.tol_psd or float(res.min_eig) > 0

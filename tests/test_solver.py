@@ -1,0 +1,212 @@
+"""End-to-end solver tests: known-answer problems (reference
+test/moi_proxsdp_unit.jl) and termination statuses
+(test/test_terminationstatus.jl)."""
+
+import numpy as np
+import pytest
+
+import proxsdp_tpu as px
+
+
+def build_maxcut_opt(**kw):
+    W = np.array(
+        [[18.0, -5.0, -7.0, -6.0],
+         [-5.0, 6.0, 0.0, -1.0],
+         [-7.0, 0.0, 8.0, -1.0],
+         [-6.0, -1.0, -1.0, 8.0]]
+    )
+    opt = px.Optimizer(**kw)
+    X = opt.add_psd_var(4)
+    for i in range(4):
+        opt.add_eq_constraint({int(X[i, i]): 1.0}, 1.0)
+    opt.set_objective(opt.psd_inner_product_coeffs(X, 0.25 * W), sense="max")
+    return opt, X
+
+
+class TestKnownAnswers:
+    def test_readme_maxcut(self):
+        opt, X = build_maxcut_opt(tol_gap=1e-4, tol_feasibility=1e-4)
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 18.0) < 5e-2
+        Xs = opt.get_psd_solution(X)
+        assert np.allclose(np.diag(Xs), 1.0, atol=1e-3)
+        assert np.linalg.eigvalsh(Xs).min() > -1e-6
+        assert res.final_rank == 1
+
+    def test_simple_2x2_sdp(self):
+        """min -4x11 - 4x12 + ... style 2x2 with known X (reference
+        moi_proxsdp_unit.jl:184-223 solves to X = ones(2,2))."""
+        # min <C,X> with C=[[2,1],[1,2]] s.t. x11=1, x22=1 -> X = ones
+        opt = px.Optimizer()
+        X = opt.add_psd_var(2)
+        opt.add_eq_constraint({int(X[0, 0]): 1.0}, 1.0)
+        opt.add_eq_constraint({int(X[1, 1]): 1.0}, 1.0)
+        opt.set_objective(
+            opt.psd_inner_product_coeffs(X, np.array([[2.0, 1.0], [1.0, 2.0]])),
+            sense="min",
+        )
+        res = opt.optimize()
+        assert res.status == 1
+        # optimum at x12 = -1 (PSD boundary): obj = 2+2-2 = 2
+        assert abs(res.objval - 2.0) < 1e-2
+        Xs = opt.get_psd_solution(X)
+        assert abs(Xs[0, 1] + 1.0) < 1e-2
+
+    def test_min_max_eigenvalue(self):
+        C = np.array([[2.0, 1.0], [1.0, 2.0]])
+        X, res = px.solve_sdp(C, As=[np.eye(2)], bs=[1.0], sense="max")
+        assert abs(res.objval - 3.0) < 1e-2
+        X, res = px.solve_sdp(C, As=[np.eye(2)], bs=[1.0], sense="min")
+        assert abs(res.objval - 1.0) < 1e-2
+
+    def test_wiki_sdp(self):
+        """Wikipedia 3x3 example (reference moi_proxsdp_unit.jl:302-338):
+        min/max x13 s.t. corr matrix with x12 in [-.2,-.1], x23 in [.4,.5]:
+        min -> -0.978, max -> 0.872."""
+        for sense, expected in [("min", -0.978), ("max", 0.872)]:
+            opt = px.Optimizer()
+            X = opt.add_psd_var(3)
+            for i in range(3):
+                opt.add_eq_constraint({int(X[i, i]): 1.0}, 1.0)
+            # -0.2 <= x12 <= -0.1 ; 0.4 <= x23 <= 0.5
+            opt.add_ineq_constraint({int(X[0, 1]): 1.0}, -0.1)
+            opt.add_ineq_constraint({int(X[0, 1]): -1.0}, 0.2)
+            opt.add_ineq_constraint({int(X[1, 2]): 1.0}, 0.5)
+            opt.add_ineq_constraint({int(X[1, 2]): -1.0}, -0.4)
+            opt.set_objective({int(X[0, 2]): 1.0}, sense=sense)
+            res = opt.optimize()
+            assert res.status == 1, res.status_string
+            assert abs(res.objval - expected) < 1e-2, (sense, res.objval)
+
+    def test_two_sdp_blocks(self):
+        """Two simultaneous PSD blocks (moi_proxsdp_unit.jl double-block)."""
+        opt = px.Optimizer()
+        X = opt.add_psd_var(2)
+        Y = opt.add_psd_var(2)
+        opt.add_eq_constraint({int(X[0, 0]): 1.0}, 1.0)
+        opt.add_eq_constraint({int(X[1, 1]): 1.0}, 1.0)
+        opt.add_eq_constraint({int(Y[0, 0]): 1.0}, 2.0)
+        opt.add_eq_constraint({int(Y[1, 1]): 1.0}, 2.0)
+        opt.set_objective(
+            {int(X[0, 1]): 1.0, int(Y[0, 1]): 1.0}, sense="min"
+        )
+        res = opt.optimize()
+        assert res.status == 1
+        # each off-diag bounded below by -sqrt(d1*d2): -1 + -2 = -3
+        assert abs(res.objval + 3.0) < 2e-2
+
+    def test_lp_as_sdp(self):
+        """Diagonal SDP == LP (moi_proxsdp_unit.jl LP-as-SDP)."""
+        opt = px.Optimizer()
+        X = opt.add_psd_var(2)
+        opt.add_eq_constraint({int(X[0, 0]): 1.0, int(X[1, 1]): 1.0}, 4.0)
+        opt.add_eq_constraint({int(X[0, 1]): 1.0}, 0.0)
+        opt.set_objective({int(X[0, 0]): 1.0, int(X[1, 1]): 2.0}, sense="min")
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 4.0) < 2e-2  # all mass on x11
+
+    def test_soc_norm(self):
+        opt = px.Optimizer()
+        s = opt.add_soc_var(3)
+        opt.add_eq_constraint({int(s[1]): 1.0}, 3.0)
+        opt.add_eq_constraint({int(s[2]): 1.0}, 4.0)
+        opt.set_objective({int(s[0]): 1.0}, sense="min")
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 5.0) < 1e-2
+
+    def test_free_vars_lp(self):
+        opt = px.Optimizer()
+        opt.add_free_vars(2)
+        opt.add_ineq_constraint({0: -1.0}, -1.0)  # x >= 1
+        opt.add_eq_constraint({1: 1.0}, 2.0)  # y = 2
+        opt.set_objective({0: 1.0, 1: 1.0}, sense="min")
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 3.0) < 1e-2
+
+    def test_mixed_sdp_soc(self):
+        """PSD + SOC + free in one problem."""
+        opt = px.Optimizer()
+        X = opt.add_psd_var(2)
+        s = opt.add_soc_var(2)
+        opt.add_eq_constraint({int(X[0, 0]): 1.0}, 1.0)
+        opt.add_eq_constraint({int(X[1, 1]): 1.0}, 1.0)
+        opt.add_eq_constraint({int(s[1]): 1.0}, 2.0)  # |2| <= t
+        opt.set_objective({int(X[0, 1]): 1.0, int(s[0]): 1.0}, sense="min")
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - (-1.0 + 2.0)) < 2e-2
+
+
+class TestTermination:
+    def test_iteration_limit(self):
+        opt, _ = build_maxcut_opt(max_iter=1)
+        res = opt.optimize()
+        assert res.status == 3
+        assert res.iter == 1
+        assert res.termination_status == "ITERATION_LIMIT"
+
+    def test_time_limit(self):
+        opt, _ = build_maxcut_opt(time_limit=0.0)
+        res = opt.optimize()
+        assert res.status == 2
+        assert res.termination_status == "TIME_LIMIT"
+
+    def test_infeasible(self):
+        opt = px.Optimizer(max_iter=20000)
+        X = opt.add_psd_var(2)
+        opt.add_eq_constraint({int(X[0, 0]): 1.0}, 1.0)
+        opt.add_eq_constraint({int(X[0, 0]): 1.0}, 2.0)
+        opt.set_objective({int(X[1, 1]): 1.0}, sense="min")
+        res = opt.optimize()
+        assert res.status == 6
+        assert res.termination_status == "INFEASIBLE"
+
+    def test_unbounded(self):
+        opt = px.Optimizer(max_iter=20000)
+        v = opt.add_free_vars(1)
+        opt.add_ineq_constraint({0: -1.0}, -1.0)  # x >= 1
+        opt.set_objective({0: -1.0}, sense="min")  # min -x -> unbounded below
+        res = opt.optimize()
+        assert res.status == 5, res.status_string
+
+
+class TestOptions:
+    def test_unknown_option_errors(self):
+        with pytest.raises(ValueError):
+            px.make_options(not_an_option=1)
+
+    def test_full_eig_decomp_mode(self):
+        opt, _ = build_maxcut_opt(full_eig_decomp=True)
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 18.0) < 5e-2
+
+    def test_no_linesearch_mode(self):
+        opt, _ = build_maxcut_opt(line_search_flag=False)
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 18.0) < 5e-2
+
+    def test_float32_mode(self):
+        opt, _ = build_maxcut_opt(dtype="float32", tol_gap=1e-3,
+                                  tol_feasibility=1e-3)
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 18.0) < 0.5
+
+    def test_equilibration_forced(self):
+        opt, _ = build_maxcut_opt(equilibration_force=True,
+                                  equilibration_iters=100)
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 18.0) < 5e-2
+
+    def test_exact_norm_mode(self):
+        opt, _ = build_maxcut_opt(approx_norm=False)
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 18.0) < 5e-2

@@ -1,0 +1,166 @@
+"""Benchmark: PDHG iterations/s + time-to-1e-4-gap on SDPLIB mcp250-1.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: ratio of our steady-state iterations/s against a single-core
+NumPy/SciPy proxy of the reference implementation measured on this machine.
+The proxy executes the same per-iteration math the Julia reference does
+(sparse M matvecs, ARPACK eigsh top-k PSD projection — scipy's eigsh IS
+ARPACK, the reference's engine via Arpack.jl — rank-k reconstruction,
+Malitsky-Pock linesearch trial, residual/gap work), so the ratio measures
+the TPU-native speedup over "reference-style single-core" honestly even
+though Julia is absent from this image.  (BASELINE.md: the reference repo
+publishes no absolute numbers.)
+
+Diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+INSTANCE = os.environ.get("BENCH_INSTANCE", "mcp250-1")
+DATA_DIR = os.environ.get("SDPLIB_DIR", "/root/reference/test/data")
+TOL = 1e-4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def find_instance():
+    for name in (INSTANCE, "mcp124-1"):
+        p = os.path.join(DATA_DIR, f"{name}.dat-s")
+        if os.path.exists(p):
+            return name, p
+    raise SystemExit("no SDPLIB instance available")
+
+
+def run_tpu_solver(path):
+    import proxsdp_tpu as px
+    from proxsdp_tpu.models.sdplib import sdplib_problem
+    from proxsdp_tpu.solver import solve
+
+    opts = px.Options(tol_gap=TOL, tol_feasibility=TOL, max_iter=200_000)
+    problem, _ = sdplib_problem(path, opts)
+    t0 = time.time()
+    res1 = solve(problem, opts)  # includes compile
+    t_first = time.time() - t0
+    t0 = time.time()
+    res = solve(problem, opts)  # warm (compile cached)
+    t_warm = time.time() - t0
+    log(
+        f"[tpu] {res.status_string}; obj={res.objval:.4f} gap={res.gap:.2e} "
+        f"iters={res.iter} first={t_first:.1f}s warm={t_warm:.2f}s "
+        f"rank={res.final_rank}"
+    )
+    return res, t_warm
+
+
+def numpy_reference_proxy(path, rank, iters=60):
+    """Per-iteration wall time of reference-style single-core math."""
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import eigsh
+
+    from proxsdp_tpu.models.sdplib import sdplib_problem
+    from proxsdp_tpu.problem import preprocess
+    from proxsdp_tpu.utils.vech import square_gather_index, tri_ij
+
+    problem, _ = sdplib_problem(path)
+    setup = preprocess(problem)
+    layout = setup.layout
+    n = layout.n
+    side = layout.sdp_sides[0]
+    M = sp.vstack([sp.csr_matrix(setup.A), sp.csr_matrix(setup.G)]).tocsr()
+    Mt = M.T.tocsr()
+    c = setup.c
+    b, h = setup.b, setup.h
+    p_ = layout.p
+
+    tau = 1.0 / max(np.sqrt((M.multiply(M)).sum()), 1e-10)
+    beta = 1.0
+    x = tau * c
+    y = np.zeros(M.shape[0])
+    Mty = np.zeros(n)
+    Mx = M @ x
+    gidx = square_gather_index(side)
+    ti, tj = tri_ij(side)
+    sq_of_tri = ti * side + tj
+    offd = ti != tj
+    in_scale = np.ones(side * side)
+    I, J = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    in_scale[(I != J).ravel()] = 1.0 / np.sqrt(2.0)
+    out_scale = np.where(offd, np.sqrt(2.0), 1.0)
+    v0 = np.random.RandomState(0).randn(side)
+    k = int(max(2, min(rank, side - 2)))
+
+    norm_b = np.linalg.norm(b) if p_ else 0.0
+    norm_c = np.linalg.norm(c)
+
+    t0 = time.time()
+    for it in range(iters):
+        # primal step + PSD projection (reference pdhg.jl:611-637)
+        x = x - tau * (Mty + c)
+        Xm = (x[gidx] * in_scale).reshape(side, side)
+        try:
+            w, V = eigsh(Xm, k=k, which="LA", v0=v0, tol=1e-10)
+            v0 = V[:, -1]
+            pos = w > 0
+            W = V[:, pos] * np.sqrt(w[pos])
+            Xp = W @ W.T
+        except Exception:
+            w, V = np.linalg.eigh(Xm)
+            Xp = (V * np.maximum(w, 0)) @ V.T
+        x = Xp.reshape(-1)[sq_of_tri] * out_scale
+        Mx_old, Mx = Mx, M @ x
+        # linesearch trial (reference pdhg.jl:532-582), one accepted trial
+        y_half = y + beta * tau * (2.0 * Mx - Mx_old)
+        y_proj = y_half.copy()
+        y_proj[:p_] = b
+        y_proj[p_:] = np.minimum(y_half[p_:] / (beta * tau), h)
+        y_temp = y_half - beta * tau * y_proj
+        Mty_old, Mty = Mty, Mt @ y_temp
+        np.linalg.norm(Mty - Mty_old)
+        np.linalg.norm(y_temp - y)
+        y = y_temp
+        # residual + gap work (reference residuals.jl)
+        pr = np.abs((x - tau * Mty)).max() / max(norm_b, 1.0)
+        feas = np.abs(Mx[:p_] - b).max() / (1.0 + norm_b) if p_ else 0.0
+        float(c @ x)
+        float(b @ y[:p_]) if p_ else 0.0
+    dt = (time.time() - t0) / iters
+    log(f"[proxy] {dt*1e3:.2f} ms/iter (k={k}, side={side})")
+    return dt
+
+
+def main():
+    name, path = find_instance()
+    log(f"instance: {name}")
+    import jax
+
+    log(f"backend: {jax.default_backend()}")
+    res, t_warm = run_tpu_solver(path)
+    iters_per_s = res.iter / max(t_warm, 1e-9)
+    proxy_dt = numpy_reference_proxy(path, rank=max(res.final_rank, 2))
+    proxy_ips = 1.0 / proxy_dt
+    out = {
+        "metric": f"{name}_pdhg_iters_per_sec_to_{TOL:g}_gap",
+        "value": round(iters_per_s, 2),
+        "unit": "iter/s",
+        "vs_baseline": round(iters_per_s / proxy_ips, 3),
+    }
+    log(
+        f"[result] {iters_per_s:.1f} iter/s vs proxy {proxy_ips:.1f} iter/s; "
+        f"time-to-gap {t_warm:.2f}s"
+    )
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

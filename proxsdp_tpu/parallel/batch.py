@@ -1,0 +1,215 @@
+"""Batched-instance solver: many conic problems of one geometry at once.
+
+The reference is strictly serial (SURVEY.md §2.3); this module is the
+TPU-native scale-out it never had.  The single-instance PDHG iteration
+(solver.iteration — already a pure function of static shape) is ``vmap``-ed
+over a leading instance axis and driven by one ``lax.while_loop`` whose
+predicate is "any instance still running"; finished instances freeze
+(masked updates), so one compiled program retires a whole sweep.
+
+Sharding: the batch axis is laid out over a ``jax.sharding.Mesh`` data axis
+with NamedSharding — instances never communicate, so the only collective
+XLA inserts is the all-reduce behind ``jnp.any(active)`` once per chunk,
+riding ICI.  1024 max-cut instances on a pod slice = (1024 / n_devices)
+instances per chip, all MXU-batched eigh/matmuls.
+
+Limitations vs single-instance solve (documented, round 1):
+* one shared constraint operator M (c, b, h may vary per instance) — the
+  max-cut/MIMO sweep shape; per-instance M needs batched-dense M (TODO);
+* under vmap, ``lax.cond`` becomes ``select`` (both branches execute), so
+  the Lanczos-vs-eigh gating would run both: batch mode forces the dense
+  eigh projection path, which on MXU is the right call for the small-to-
+  medium blocks batching targets anyway;
+* no certificate search (statuses 5/6 are reported without ray search);
+* wall-clock time limit is per-chunk granular.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..options import Options
+from ..problem import ConicProblem, SetupProblem, preprocess
+from ..result import STATUS_STRINGS, Result
+from ..solver import (
+    Operands,
+    State,
+    _Budget,
+    _cache_solution,
+    init_state,
+    make_chunk_runner,
+)
+
+
+class BatchPlan(NamedTuple):
+    setups: list  # per-instance SetupProblem (for result recovery)
+    layout: object
+    options: Options
+
+
+def _force_batch_options(opts: Options) -> Options:
+    # vmapped cond == select: avoid tracing both Lanczos and eigh per block
+    return opts.replace(use_lanczos=False, certificate_search=False)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_batch_runner(layout, opts: Options):
+    _, iteration, _ = make_chunk_runner(layout, opts)
+
+    # batch over state; share M/norms; batch b, h, c; share chunk_end
+    op_axes = Operands(
+        M=None, b=0, h=0, c=0, norm_b=0, norm_h=0, norm_c=0, chunk_end=None
+    )
+    viter = jax.vmap(iteration, in_axes=(0, op_axes))
+
+    def run_chunk(states: State, ops: Operands) -> State:
+        def cond(ss: State):
+            return jnp.any((ss.status == 0) & (ss.iter < ops.chunk_end))
+
+        def body(ss: State):
+            new = viter(ss, ops)
+            active = (ss.status == 0) & (ss.iter < ops.chunk_end)
+
+            def freeze(n, o):
+                mask = active.reshape((-1,) + (1,) * (n.ndim - 1))
+                return jnp.where(mask, n, o)
+
+            return jax.tree_util.tree_map(freeze, new, ss)
+
+        return jax.lax.while_loop(cond, body, states)
+
+    def fetch(ss: State):
+        L = ss.buf_gap.shape[0]
+        i = (ss.iter - 1) % L
+        ft = ss.buf_gap.dtype
+        take = jax.vmap(lambda buf, j: buf[j])
+        return jnp.stack(
+            [
+                ss.iter.astype(ft),
+                ss.status.astype(ft),
+                take(ss.buf_gap, i),
+                take(ss.buf_feas, i),
+                take(ss.buf_prim_obj, i),
+                take(ss.buf_dual_obj, i),
+            ],
+            axis=-1,
+        )
+
+    return jax.jit(run_chunk), jax.jit(fetch)
+
+
+def _stack_states(states: Sequence[State]) -> State:
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *states)
+
+
+def _index_state(states: State, i: int) -> State:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x)[i], states)
+
+
+def solve_batch(
+    problems: Sequence[ConicProblem],
+    options: Options | None = None,
+    mesh: jax.sharding.Mesh | None = None,
+    batch_axis: str = "batch",
+    **kwargs,
+) -> list[Result]:
+    """Solve a batch of same-geometry problems; optionally sharded over a
+    mesh data axis. Returns one Result per instance."""
+    opts = _force_batch_options((options or Options()).replace(**kwargs))
+    t0 = time.time()
+
+    setups = [preprocess(p) for p in problems]
+    layout = setups[0].layout
+    for s in setups[1:]:
+        if s.layout != layout:
+            raise ValueError("all batched problems must share one geometry")
+
+    from ..ops.linop import build_linop
+
+    dtype = jnp.float64 if opts.dtype == "float64" else jnp.float32
+    M = build_linop(setups[0].A, setups[0].G, dtype)
+
+    B = len(setups)
+    ops = Operands(
+        M=M,
+        b=jnp.asarray(np.stack([s.b for s in setups]), dtype),
+        h=jnp.asarray(np.stack([s.h for s in setups]), dtype),
+        c=jnp.asarray(np.stack([s.c for s in setups]), dtype),
+        norm_b=jnp.asarray(np.array([s.norm_b for s in setups]), dtype),
+        norm_h=jnp.asarray(np.array([s.norm_h for s in setups]), dtype),
+        norm_c=jnp.asarray(np.array([s.norm_c for s in setups]), dtype),
+        chunk_end=jnp.asarray(0, jnp.int32),
+    )
+    states = _stack_states([init_state(layout, opts, s) for s in setups])
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def shard(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B:
+                return jax.device_put(
+                    jnp.asarray(x), NamedSharding(mesh, P(batch_axis))
+                )
+            return x
+
+        states = jax.tree_util.tree_map(shard, states)
+        ops = ops._replace(
+            b=shard(ops.b), h=shard(ops.h), c=shard(ops.c),
+            norm_b=shard(ops.norm_b), norm_h=shard(ops.norm_h),
+            norm_c=shard(ops.norm_c),
+        )
+
+    run_chunk, fetch = _cached_batch_runner(layout, opts)
+    budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
+    chunk = opts.chunk_iters or max(opts.convergence_check, 50)
+
+    while True:
+        iters_now = np.asarray(states.iter)
+        status_now = np.asarray(states.status)
+        running_mask = status_now == 0
+        k0 = int(iters_now[running_mask].min()) if running_mask.any() else int(
+            iters_now.min()
+        )
+        target = min(k0 + chunk, budget.max_iter)
+        ops = ops._replace(chunk_end=jnp.asarray(target, jnp.int32))
+        states = run_chunk(states, ops)
+        sc = np.asarray(fetch(states))
+        status = sc[:, 1].astype(int)
+        iters = sc[:, 0].astype(int)
+        elapsed = time.time() - t0
+        running = status == 0
+        if opts.log_verbose:
+            print(
+                f"  [batch] iter>={iters.min()} done={int((~running).sum())}/{B} "
+                f"max_gap={sc[running, 2].max() if running.any() else 0:.2e} "
+                f"t={elapsed:.1f}s"
+            )
+        if not running.any():
+            break
+        if iters.min() >= budget.max_iter or elapsed >= budget.time_limit:
+            break
+
+    # finalize per instance (host-side, one transfer per array via numpy)
+    states_np = jax.tree_util.tree_map(np.asarray, states)
+    results = []
+    for i in range(B):
+        st = int(states_np.status[i])
+        if st == 0:
+            st = 3 if int(states_np.iter[i]) >= budget.max_iter else 2
+        results.append(
+            _cache_solution(
+                _index_state(states_np, i),
+                setups[i],
+                opts,
+                t0,
+                status=st,
+                status_string=STATUS_STRINGS[st],
+            )
+        )
+    return results

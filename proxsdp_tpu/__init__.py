@@ -23,6 +23,22 @@ import jax as _jax
 if not os.environ.get("PROXSDP_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: solver programs are recompiled per
+# problem geometry; caching them on disk makes repeat runs (benchmarks,
+# CLI invocations) start in milliseconds instead of minutes on backends
+# with slow compile RPCs. Opt out with PROXSDP_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("PROXSDP_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "PROXSDP_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "proxsdp_tpu", "xla"),
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from .options import Options, make_options  # noqa: E402
 from .problem import ConeLayout, ConicProblem, preprocess  # noqa: E402
 from .result import Result, STATUS_STRINGS, TERMINATION_STATUS  # noqa: E402

@@ -97,6 +97,23 @@ def psd_projection_block(
 
     X = tri_to_square(v_block, side)
 
+    if opt.tp_shards > 0:
+        # tensor-parallel: row-shard the dense block over the mesh's tp
+        # axis; GSPMD propagates the layout through Lanczos/eigh and the
+        # rank-k reconstruction, inserting psum collectives for the inner
+        # products (parallel/sharded.py)
+        from ..parallel.sharded import current_tp_mesh
+
+        ctx = current_tp_mesh()
+        if ctx is not None:
+            mesh, axis = ctx
+            X = jax.lax.with_sharding_constraint(
+                X,
+                jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(axis, None)
+                ),
+            )
+
     def full_path(X):
         w, V = jnp.linalg.eigh(X)  # ascending
         pos = jnp.maximum(w, 0.0)
@@ -108,6 +125,7 @@ def psd_projection_block(
         allow_lanczos
         and not opt.full_eig_decomp
         and side > opt.min_size_krylov_eigs
+        and side > opt.full_eig_max_side
         and opt.use_lanczos
     )
     if not use_lz:

@@ -148,6 +148,19 @@ class Options:
     # Computation dtype: "float64" (default; accuracy parity with the
     # reference) or "float32" (full MXU speed on TPU).
     dtype: str = "float64"
+    # Hybrid precision (TPU): when dtype="float64", run the loop in f32
+    # until gap/feasibility reach hybrid_switch_factor * tol, then hand the
+    # state to the f64 program to finish.  The optimality decision is only
+    # ever made by the f64 program, so accuracy semantics are unchanged;
+    # f32 phase statuses (including infeasibility heuristics) are always
+    # re-confirmed in f64.  f64 is ~18x slower than f32 on TPU (emulated),
+    # so this is the single biggest performance lever.
+    hybrid_precision: bool = True
+    hybrid_switch_factor: float = 10.0
+    # Tensor-parallel shard count for the PSD-block work (set by
+    # parallel.sharded.solve_sharded; 0 = unsharded). Static: participates
+    # in the compile cache key.
+    tp_shards: int = 0
     # Iterations executed per jitted chunk between host syncs (time-limit /
     # logging checks live on the host between chunks).
     chunk_iters: int = 0  # 0 = auto (max(convergence_check, 50))
@@ -156,6 +169,14 @@ class Options:
     # Use the low-rank Lanczos path when eligible (mirrors the reference's
     # krylov gating); set False to force dense eigh everywhere.
     use_lanczos: bool = True
+    # TPU-first projection policy: for PSD blocks with side <= this, always
+    # use the dense eigh (exact) projection.  On MXU hardware a full eigh
+    # at these sizes costs the same as the Lanczos pass, and the exact
+    # projection removes the reference's +1-rank-per-window escalation
+    # phase (thousands of extra iterations).  Set 0 to recover the
+    # reference's CPU-era gating (Lanczos whenever side >
+    # min_size_krylov_eigs and target_rank <= max_target_rank_krylov_eigs).
+    full_eig_max_side: int = 1024
     # Warm-start the solver from a previous Result (closes the reference's
     # roadmap gap; README.md:145-148 lists warm start as future work).
     # Supplied per-call via solve(..., warm_start=...), not here.

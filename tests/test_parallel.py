@@ -1,0 +1,80 @@
+"""Parallel-layer tests on the 8-virtual-device CPU mesh (conftest sets
+XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+
+import jax
+import proxsdp_tpu as px
+from proxsdp_tpu.models.maxcut import maxcut_problem, random_graph_weights
+from proxsdp_tpu.parallel.batch import solve_batch
+from proxsdp_tpu.solver import solve
+
+
+@pytest.fixture(scope="module")
+def problems():
+    return [maxcut_problem(random_graph_weights(s, 10))[0] for s in range(8)]
+
+
+class TestBatch:
+    def test_matches_single_solves(self, problems):
+        res = solve_batch(problems, px.Options())
+        assert all(r.status == 1 for r in res)
+        for i in (0, 3, 7):
+            single = solve(problems[i], px.Options(
+                use_lanczos=False, certificate_search=False,
+                hybrid_precision=False))
+            assert abs(res[i].objval - single.objval) < 1e-6
+
+    def test_sharded_matches_unsharded(self, problems):
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+        res_u = solve_batch(problems, px.Options())
+        res_s = solve_batch(problems, px.Options(), mesh=mesh)
+        for a, b in zip(res_u, res_s):
+            assert a.status == b.status
+            assert abs(a.objval - b.objval) < 1e-9
+
+    def test_mixed_geometry_rejected(self, problems):
+        other = maxcut_problem(random_graph_weights(0, 11))[0]
+        with pytest.raises(ValueError):
+            solve_batch([problems[0], other])
+
+    def test_iteration_limit_statuses(self, problems):
+        res = solve_batch(problems[:2], px.Options(max_iter=3))
+        assert all(r.status == 3 for r in res)
+        assert all(r.iter <= 3 for r in res)
+
+
+class TestShardedTP:
+    def test_tp_matches_unsharded(self):
+        from jax.sharding import Mesh
+
+        # side 12 -> the dense block rows shard over 2 devices
+        prob, _ = maxcut_problem(random_graph_weights(1, 12))
+        mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+        from proxsdp_tpu.parallel.sharded import solve_sharded
+
+        r_ref = solve(prob, px.Options())
+        r_tp = solve_sharded(prob, mesh, px.Options())
+        assert r_tp.status == 1
+        assert abs(r_tp.objval - r_ref.objval) < 1e-8
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out.x)
+        assert int(out.iter) == 1
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)

@@ -157,9 +157,11 @@ class Optimizer:
             objective_constant=self._obj_constant,
         )
 
-    def optimize(self, **kwargs) -> Result:
+    def optimize(self, warm_start=None, **kwargs) -> Result:
+        """Solve; ``warm_start`` accepts a previous Result (or
+        (x, dual_eq, dual_in)) for the same model geometry."""
         opts = self.options.replace(**kwargs) if kwargs else self.options
-        self.result = solve(self.build_problem(), opts)
+        self.result = solve(self.build_problem(), opts, warm_start=warm_start)
         return self.result
 
     # ---------------- result accessors (MOI-style) ----------------

@@ -114,12 +114,22 @@ def psd_projection_block(
                 ),
             )
 
+    # mixed projection: f32 programs compute the eigendecomposition in
+    # f64 when available (see Options.mixed_projection rationale)
+    eig_dtype = dtype
+    if (
+        opt.mixed_projection
+        and dtype == jnp.float32
+        and jax.config.jax_enable_x64
+    ):
+        eig_dtype = jnp.float64
+
     def full_path(X):
-        w, V = jnp.linalg.eigh(X)  # ascending
+        w, V = jnp.linalg.eigh(X.astype(eig_dtype))  # ascending
         pos = jnp.maximum(w, 0.0)
-        Xp = (V * pos[None, :]) @ V.T
+        Xp = ((V * pos[None, :]) @ V.T).astype(dtype)
         cur = jnp.sum(w > opt.tol_psd).astype(jnp.int32)
-        return Xp, jnp.asarray(0.0, dtype), cur, V[:, -1]
+        return Xp, jnp.asarray(0.0, dtype), cur, V[:, -1].astype(dtype)
 
     use_lz = (
         allow_lanczos

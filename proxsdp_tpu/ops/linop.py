@@ -96,6 +96,73 @@ class CooOp:
         return cls(*children, aux[0], aux[1])
 
 
+@jax.tree_util.register_pytree_node_class
+class EllOp:
+    """ELLPACK operator: per-row and per-column padded index/value tables.
+
+    Both products are gather + dense reduction — no scatter, no
+    segment-sum — which is the TPU-native shape for the very sparse
+    constraint matrices SDP problems carry (diag(X)=1 rows have one
+    nonzero).  Padding entries point at index 0 with value 0.
+    """
+
+    def __init__(self, row_cols, row_vals, col_rows, col_vals):
+        self.row_cols = row_cols  # (nrows, r) int32
+        self.row_vals = row_vals  # (nrows, r)
+        self.col_rows = col_rows  # (ncols, c) int32
+        self.col_vals = col_vals  # (ncols, c)
+
+    @property
+    def shape(self):
+        return (self.row_cols.shape[0], self.col_rows.shape[0])
+
+    def matvec(self, x):
+        return jnp.sum(self.row_vals * x[self.row_cols], axis=1)
+
+    def rmatvec(self, y):
+        return jnp.sum(self.col_vals * y[self.col_rows], axis=1)
+
+    def frobenius_norm(self):
+        return jnp.sqrt(jnp.sum(self.row_vals * self.row_vals))
+
+    def tree_flatten(self):
+        return (self.row_cols, self.row_vals, self.col_rows, self.col_vals), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _build_ell(rows, cols, vals, nrows, ncols, dtype, max_width=32):
+    """Build EllOp tables, or None if a row/col is too dense."""
+
+    def tables(keys, others, vals, nkeys):
+        counts = np.bincount(keys, minlength=nkeys)
+        width = int(counts.max()) if len(counts) else 0
+        width = max(width, 1)
+        if width > max_width:
+            return None
+        idx = np.zeros((nkeys, width), np.int32)
+        val = np.zeros((nkeys, width))
+        pos = np.zeros(nkeys, np.int64)
+        for k, o, v in zip(keys, others, vals):
+            idx[k, pos[k]] = o
+            val[k, pos[k]] = v
+            pos[k] += 1
+        return idx, val
+
+    t_row = tables(rows, cols, vals, nrows)
+    t_col = tables(cols, rows, vals, ncols)
+    if t_row is None or t_col is None:
+        return None
+    return EllOp(
+        jnp.asarray(t_row[0]),
+        jnp.asarray(t_row[1], dtype=dtype),
+        jnp.asarray(t_col[0]),
+        jnp.asarray(t_col[1], dtype=dtype),
+    )
+
+
 def _to_coo(M):
     if _sp is not None and _sp.issparse(M):
         coo = M.tocoo()
@@ -115,10 +182,18 @@ def stack_vertical(A, G):
 def build_linop(A, G, dtype, force: str | None = None, dense_limit: int = 1 << 23):
     """Choose and build the device operator for M = [A; G].
 
-    force: "dense" | "coo" | None (auto).  Auto picks dense when the dense
-    matrix has at most ``dense_limit`` entries (8M -> 64MB f64) or density
-    is high enough that COO gathers would not pay off.
+    force: "dense" | "ell" | "coo" | None (auto).
+
+    Auto policy: very sparse matrices use the gather-based ELLPACK form
+    (the TPU-native shape for SDP constraint matrices); otherwise dense.
+    EXCEPT in f64: on the current TPU runtime, gather-heavy f64 programs
+    inside lax.while_loop crash the worker (kernel fault, reproduced on
+    COO and ELL, dense is stable), so f64 programs use the dense operator
+    whenever it fits — in the hybrid-precision design f64 only runs the
+    short polish phase, so the emulated dense matvec cost is bounded.
     """
+    import jax as _jax
+
     M = stack_vertical(A, G)
     nrows, ncols = M.shape
     size = nrows * ncols
@@ -128,15 +203,38 @@ def build_linop(A, G, dtype, force: str | None = None, dense_limit: int = 1 << 2
         nnz = int(np.count_nonzero(M))
     density = nnz / max(size, 1)
 
+    on_tpu = _jax.default_backend() == "tpu"
     choice = force
     if choice is None:
-        choice = "dense" if (size <= dense_limit or density > 0.25) else "coo"
+        if on_tpu:
+            # f64: gather-heavy (ELL/COO) programs crash the current axon
+            # worker inside lax.while_loop; dense is stable and in the
+            # hybrid design f64 only runs the short polish phase.
+            # f32: a dense matvec on the MXU (0.1 ms at 250x31k) beats
+            # ELL gathers; use ELL only when dense doesn't fit HBM.
+            choice = "dense" if size <= (1 << 27) else "ell"
+        elif density < 0.02 and size > (1 << 16):
+            choice = "ell"
+        else:
+            choice = "dense" if (size <= dense_limit or density > 0.25) else "ell"
 
     if choice == "dense":
         dense = M.toarray() if (_sp is not None and _sp.issparse(M)) else np.asarray(M)
         return DenseOp(jnp.asarray(dense, dtype=dtype))
 
     rows, cols, vals = _to_coo(M)
+
+    if choice == "ell":
+        ell = _build_ell(rows, cols, vals, nrows, ncols, dtype)
+        if ell is not None:
+            return ell
+        # a too-dense row/column (e.g. a variable pinned by thousands of
+        # constraints): prefer dense when it fits, else COO
+        if size <= dense_limit:
+            dense = (
+                M.toarray() if (_sp is not None and _sp.issparse(M)) else np.asarray(M)
+            )
+            return DenseOp(jnp.asarray(dense, dtype=dtype))
     order = np.argsort(rows, kind="stable")
     rows, cols, vals = rows[order], cols[order], vals[order]
     # pad to a power-of-two-ish bucket so minor nnz changes reuse compilations

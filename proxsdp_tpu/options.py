@@ -177,6 +177,15 @@ class Options:
     # reference's CPU-era gating (Lanczos whenever side >
     # min_size_krylov_eigs and target_rank <= max_target_rank_krylov_eigs).
     full_eig_max_side: int = 1024
+    # Mixed-precision projection: in f32 programs, run the PSD eigh and
+    # rank-k reconstruction in f64 and cast back.  The f32 eigh error
+    # (~n*eps*lam_max, injected into x EVERY iteration) contributes to the
+    # pure-f32 gap floor around 1e-3; the f64 eigh costs <1 ms at side
+    # ~250 on TPU.  DEFAULT OFF: the current axon TPU runtime miscompiles
+    # cross-dtype islands inside lax.while_loop (NaN at the first
+    # iteration; the identical pattern works standalone) — enable on CPU
+    # or on runtimes without that bug.
+    mixed_projection: bool = False
     # Warm-start the solver from a previous Result (closes the reference's
     # roadmap gap; README.md:145-148 lists warm start as future work).
     # Supplied per-call via solve(..., warm_start=...), not here.

@@ -101,12 +101,21 @@ def _nblocks(layout: ConeLayout) -> int:
     return max(len(layout.sdp_sides), 1)
 
 
-def init_state(layout: ConeLayout, opts: Options, setup: SetupProblem) -> State:
+def init_state(
+    layout: ConeLayout,
+    opts: Options,
+    setup: SetupProblem,
+    warm: tuple | None = None,
+) -> State:
     """Initial solver state (reference pdhg.jl:97-142).
 
     Built entirely with NumPy on the host — zero device round-trips; the
     first jitted chunk call transfers everything at once (this matters when
     the device sits behind a network tunnel).
+
+    warm: optional (x0, y0) in SOLVER space (permuted, sqrt2-scaled) —
+    warm starting closes the reference's roadmap gap (README.md:145-148;
+    its WarmStart struct is dead code, structs.jl:94-98).
     """
     dtype = np.float64 if opts.dtype == "float64" else np.float32
     n, pm = layout.n, layout.p + layout.m
@@ -130,8 +139,18 @@ def init_state(layout: ConeLayout, opts: Options, setup: SetupProblem) -> State:
         sn = 1.0
     step = 1.0 / sn
 
-    x0 = (step * setup.c).astype(dtype) if opts.advanced_initialization else z(n)
+    if warm is not None:
+        x0 = np.asarray(warm[0], dtype=dtype)
+        y0 = np.asarray(warm[1], dtype=dtype)
+    else:
+        x0 = (step * setup.c).astype(dtype) if opts.advanced_initialization else z(n)
+        y0 = z(pm)
     Mx0 = np.asarray(M_host @ x0, dtype=dtype).ravel() if pm else z(pm)
+    Mty0 = (
+        np.asarray(M_host.T @ y0, dtype=dtype).ravel()
+        if (warm is not None and pm)
+        else z(n)
+    )
 
     rng = np.random.RandomState(opts.eigsolver_resid_seed)
     warm = []
@@ -144,13 +163,13 @@ def init_state(layout: ConeLayout, opts: Options, setup: SetupProblem) -> State:
 
     return State(
         x=x0,
-        x_old=z(n),
-        y=z(pm),
-        y_old=z(pm),
+        x_old=x0.copy() if warm is not None else z(n),
+        y=y0,
+        y_old=y0.copy(),
         Mx=Mx0,
-        Mx_old=z(pm),
-        Mty=z(n),
-        Mty_old=z(n),
+        Mx_old=Mx0.copy() if warm is not None else z(pm),
+        Mty=Mty0,
+        Mty_old=Mty0.copy(),
         primal_step=dtype(step),
         primal_step_old=dtype(step),
         dual_step=dtype(step),
@@ -670,9 +689,14 @@ def _cone_feas(v: np.ndarray, layout: ConeLayout) -> float:
         blk[mask] /= sq2
         if side == 1:
             viol = max(viol, -min(0.0, blk[0]))
+        elif not np.all(np.isfinite(blk)):
+            viol = np.inf
         else:
-            w = np.linalg.eigvalsh(ivec(blk))
-            viol = max(viol, -min(0.0, w.min()))
+            try:
+                w = np.linalg.eigvalsh(ivec(blk))
+                viol = max(viol, -min(0.0, w.min()))
+            except np.linalg.LinAlgError:
+                viol = np.inf
     for off, ln in zip(layout.soc_offsets, layout.soc_lens):
         sblk = v[off : off + ln]
         viol = max(viol, -min(0.0, sblk[0] - np.linalg.norm(sblk[1:])))
@@ -718,8 +742,18 @@ class _Budget:
         self.time_limit = opts.time_limit
 
 
-def solve(problem, options: Options | None = None, **kwargs) -> Result:
-    """Solve a ConicProblem (or pre-built SetupProblem). Main entry point."""
+def solve(
+    problem,
+    options: Options | None = None,
+    warm_start=None,
+    **kwargs,
+) -> Result:
+    """Solve a ConicProblem (or pre-built SetupProblem). Main entry point.
+
+    warm_start: a previous Result for the same problem geometry, or a
+    tuple (x, dual_eq, dual_in) in user variable order.  (The reference
+    lists warm starting as roadmap future work, README.md:145-148.)
+    """
     opts = options or Options()
     if kwargs:
         opts = opts.replace(**kwargs)
@@ -755,6 +789,26 @@ def solve(problem, options: Options | None = None, **kwargs) -> Result:
     operands = make_operands(dtype)
     run_chunk, _, fetch = _cached_runner(layout, opts)
 
+    warm = None
+    if warm_start is not None:
+        # user space -> solver space: inverse of cache_solution's
+        # unscale/unpermute chain (pdhg.jl:745-787)
+        if isinstance(warm_start, Result):
+            x_u = warm_start.primal
+            y_s = np.concatenate([warm_start.dual_eq, warm_start.dual_in])
+        else:
+            x_u, y_eq, y_in = warm_start
+            y_s = np.concatenate(
+                [np.asarray(y_eq, np.float64), np.asarray(y_in, np.float64)]
+            )
+        ord_ = np.argsort(setup.var_ordering)
+        x_s = np.asarray(x_u, np.float64)[ord_]
+        if equil is not None:
+            x_s = x_s / equil.D
+            y_s = y_s / equil.E
+        x_s = _fix_diag_scaling(x_s, layout, 1.0 / np.sqrt(2.0))
+        warm = (x_s, y_s)
+
     # Hybrid precision: race in f32, confirm/finish in f64 (the optimality
     # decision is only ever made by the f64 program).
     hybrid = opts.dtype == "float64" and opts.hybrid_precision
@@ -762,10 +816,10 @@ def solve(problem, options: Options | None = None, **kwargs) -> Result:
         opts32 = opts.replace(dtype="float32")
         operands32 = make_operands(jnp.float32)
         run_chunk32, _, fetch32 = _cached_runner(layout, opts32)
-        state = init_state(layout, opts32, setup)
+        state = init_state(layout, opts32, setup, warm=warm)
         phase32 = True
     else:
-        state = init_state(layout, opts, setup)
+        state = init_state(layout, opts, setup, warm=warm)
         phase32 = False
 
     budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
@@ -789,6 +843,7 @@ def solve(problem, options: Options | None = None, **kwargs) -> Result:
         "fail_reason": "",
     }
     hybrid_best = {"value": float("inf"), "stall": 0}
+    tau0 = float(state.primal_step)
 
     def fetch_scalars(s):
         f = fetch32 if phase32 else fetch
@@ -860,10 +915,38 @@ def solve(problem, options: Options | None = None, **kwargs) -> Result:
                 or elapsed >= budget.time_limit
             )
             if switch:
+                stalled = hybrid_best["stall"] >= 3 and st == 0
+                blew_up = not (
+                    np.isfinite(sc["comb"])
+                    and np.isfinite(sc["prim_obj"])
+                    and np.isfinite(sc["dual_obj"])
+                )
                 if opts.log_verbose:
                     print(f"  [hybrid] f32 -> f64 at iter {k} "
-                          f"(st={st}, stall={hybrid_best['stall']})")
+                          f"(st={st}, stalled={stalled}, nan={blew_up})")
+                if blew_up:
+                    # f32 phase diverged to NaN/Inf: restart clean in f64
+                    # rather than polluting the f64 phase with NaN state
+                    fresh = init_state(layout, opts, setup, warm=warm)
+                    fresh = jax.tree_util.tree_map(jnp.asarray, fresh)
+                    state = fresh._replace(iter=state.iter)
+                    phase32 = False
+                    continue
                 state = _cast_state(state, jnp.float64)
+                if stalled:
+                    # the f32 phase wedged its adaptive step machinery
+                    # (beta blow-up): restart steps at the f64 hand-over,
+                    # keeping the iterates (standard PDHG restart)
+                    f64 = jnp.float64
+                    state = state._replace(
+                        primal_step=jnp.asarray(tau0, f64),
+                        primal_step_old=jnp.asarray(tau0, f64),
+                        dual_step=jnp.asarray(tau0, f64),
+                        theta=jnp.asarray(opts.initial_theta, f64),
+                        beta=jnp.asarray(opts.initial_beta, f64),
+                        adapt_level=jnp.asarray(opts.initial_adapt_level, f64),
+                        ada_count=jnp.asarray(0, jnp.int32),
+                    )
                 phase32 = False
             continue
 

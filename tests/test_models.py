@@ -101,6 +101,29 @@ class TestSDPLIB:
         assert len(c) == 124
         assert entries.shape[1] == 4
 
+    def test_native_parser_agrees(self):
+        """C++ parser (native/parse_sdpa.cpp) must agree with the Python
+        fallback exactly."""
+        try:
+            from proxsdp_tpu.utils.native import parse_sdpa
+        except Exception:
+            pytest.skip("native parser not built")
+        path = f"{SDPLIB_DIR}/mcp124-1.dat-s"
+        n1, m1, e1, c1 = parse_sdpa(path)
+        import proxsdp_tpu.models.sdplib as s
+
+        # call the pure-Python path directly by bypassing _try_native
+        native = s._try_native
+        s._try_native = lambda p: None
+        try:
+            n2, m2, e2, c2 = s.sdplib_data(path)
+        finally:
+            s._try_native = native
+        assert (n1, m1) == (n2, m2)
+        assert np.allclose(c1, c2)
+        assert e1.shape == e2.shape
+        assert np.allclose(np.sort(e1, axis=0), np.sort(e2, axis=0))
+
     @pytest.mark.parametrize("name,published", [
         ("mcp124-1", 141.990),
         ("gpp124-1", -7.3431),

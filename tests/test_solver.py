@@ -174,6 +174,28 @@ class TestTermination:
         assert res.status == 5, res.status_string
 
 
+class TestWarmStart:
+    def test_warm_start_cuts_iterations(self):
+        # min_iter=0: otherwise the min_iter=40 floor masks the cut
+        opt, X = build_maxcut_opt(min_iter=0)
+        res1 = opt.optimize()
+        assert res1.status == 1
+        res2 = opt.optimize(warm_start=res1)
+        assert res2.status == 1
+        assert abs(res2.objval - res1.objval) < 1e-2
+        # restarting at the solution should converge almost immediately
+        assert res2.iter < res1.iter / 2, (res2.iter, res1.iter)
+
+    def test_warm_start_tuple_form(self):
+        opt, X = build_maxcut_opt()
+        res1 = opt.optimize()
+        res2 = opt.optimize(
+            warm_start=(res1.primal, res1.dual_eq, res1.dual_in)
+        )
+        assert res2.status == 1
+        assert abs(res2.objval - res1.objval) < 1e-2
+
+
 class TestOptions:
     def test_unknown_option_errors(self):
         with pytest.raises(ValueError):

@@ -25,6 +25,7 @@ zeroed-out versions, extends budgets, and re-enters the SAME compiled loop.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import NamedTuple
 
@@ -757,11 +758,6 @@ def solve(
     opts = options or Options()
     if kwargs:
         opts = opts.replace(**kwargs)
-    if opts.check_dual_feas:
-        raise NotImplementedError(
-            "check_dual_feas inside the loop is not supported; dual "
-            "feasibility is always reported in the Result"
-        )
 
     t0 = time.time()
     setup = preprocess(problem) if isinstance(problem, ConicProblem) else problem
@@ -845,6 +841,20 @@ def solve(
     hybrid_best = {"value": float("inf"), "stall": 0}
     tau0 = float(state.primal_step)
 
+    # --- observability (reference: TimerOutputs spans, SURVEY.md §5).
+    # Host-side phase timers always collected; timer_verbose prints the
+    # report, timer_file writes time.log; an XLA profiler trace can be
+    # captured with PROXSDP_TPU_TRACE_DIR.
+    timers = {"setup": time.time() - t0, "f32 loop": 0.0, "f64 loop": 0.0,
+              "host sync": 0.0, "finalize": 0.0}
+    chunk_counts = {"f32": 0, "f64": 0}
+    trace_dir = os.environ.get("PROXSDP_TPU_TRACE_DIR")
+    if trace_dir:
+        try:
+            jax.profiler.start_trace(trace_dir)
+        except Exception:
+            trace_dir = None
+
     def fetch_scalars(s):
         f = fetch32 if phase32 else fetch
         v = np.asarray(f(s))  # one device->host transfer
@@ -878,13 +888,22 @@ def solve(
         else:
             target = max(target, k0 + 1)
             ce = jnp.asarray(target, jnp.int32)
+            t_chunk = time.time()
             if phase32:
                 operands32 = operands32._replace(chunk_end=ce)
                 state = run_chunk32(state, operands32)
+                jax.block_until_ready(state.x)
+                timers["f32 loop"] += time.time() - t_chunk
+                chunk_counts["f32"] += 1
             else:
                 operands = operands._replace(chunk_end=ce)
                 state = run_chunk(state, operands)
+                jax.block_until_ready(state.x)
+                timers["f64 loop"] += time.time() - t_chunk
+                chunk_counts["f64"] += 1
+        t_sync = time.time()
         sc = fetch_scalars(state)
+        timers["host sync"] += time.time() - t_sync
         k, st = sc["iter"], sc["status"]
         elapsed = time.time() - t0
 
@@ -977,6 +996,19 @@ def solve(
 
         # ----- normal termination
         if st == 1 and not in_cert:
+            # check_dual_feas: optimality additionally requires dual
+            # feasibility below tol (reference pdhg.jl:248-249 gates the
+            # convergence branch on it).  The device declares; the host
+            # verifies and vetoes — chunk-granular version of the
+            # reference's every-check_dual_feas_freq evaluation.
+            if opts.check_dual_feas:
+                y_now = np.asarray(state.y, np.float64)
+                if equil is not None:
+                    y_now = equil.E * y_now
+                dfeas = _dual_feas_host(y_now, setup, setup.c_orig)
+                if dfeas >= opts.tol_feasibility_dual:
+                    state = state._replace(status=jnp.asarray(0, jnp.int32))
+                    continue
             final_status = 1
             break
 
@@ -1047,9 +1079,45 @@ def solve(
             equil=equil,
         )
 
+    timers["finalize"] = time.time() - t0 - sum(
+        v for k_, v in timers.items() if k_ != "finalize"
+    )
+    if trace_dir:
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
+    if opts.timer_verbose or opts.timer_file:
+        report = _timer_report(timers, chunk_counts, res)
+        if opts.timer_verbose:
+            print(report)
+        if opts.timer_file:
+            with open("time.log", "w") as f:
+                f.write(report + "\n")
+
     if opts.log_verbose:
         _log_final(res)
     return res
+
+
+def _timer_report(timers, chunk_counts, res) -> str:
+    """Phase-timing report (reference: TimerOutputs print, MOI_wrapper.jl:317-330)."""
+    total = sum(timers.values())
+    lines = [
+        "-" * 58,
+        f"  {'phase':<12} {'time (s)':>10} {'share':>8}   chunks",
+        "-" * 58,
+    ]
+    for name, v in timers.items():
+        extra = ""
+        if name == "f32 loop":
+            extra = f"  {chunk_counts['f32']}"
+        elif name == "f64 loop":
+            extra = f"  {chunk_counts['f64']}"
+        lines.append(f"  {name:<12} {v:>10.3f} {v / max(total, 1e-9):>7.1%}{extra}")
+    lines.append("-" * 58)
+    lines.append(f"  total {total:.3f}s  iters={res.iter}")
+    return "\n".join(lines)
 
 
 def _declare_string(st, sc):

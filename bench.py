@@ -147,7 +147,43 @@ def _proxy_once(path, rank, iters):
     return dt
 
 
+def bench_batch():
+    """Secondary metric: batched max-cut sweep throughput (instances/s/chip).
+
+    Run with BENCH_MODE=batch; BENCH_BATCH=<B> BENCH_SIDE=<n> to size it.
+    """
+    import time as _time
+
+    import proxsdp_tpu as px
+    from proxsdp_tpu.models.maxcut import maxcut_problem, random_graph_weights
+    from proxsdp_tpu.parallel.batch import solve_batch
+
+    B = int(os.environ.get("BENCH_BATCH", "128"))
+    n = int(os.environ.get("BENCH_SIDE", "40"))
+    probs = [maxcut_problem(random_graph_weights(s, n))[0] for s in range(B)]
+    # default hybrid driver: f32 race + f64 finish, full 1e-4 accuracy
+    opts = px.Options(tol_gap=TOL, tol_feasibility=TOL)
+    t0 = _time.time()
+    res = solve_batch(probs, opts)
+    log(f"[batch] first (compile+solve): {_time.time() - t0:.1f}s "
+        f"optimal={sum(r.status == 1 for r in res)}/{B}")
+    t0 = _time.time()
+    res = solve_batch(probs, opts)
+    dt = _time.time() - t0
+    out = {
+        "metric": f"maxcut_n{n}_batched_instances_per_sec_per_chip",
+        "value": round(B / dt, 2),
+        "unit": "instances/s",
+        "vs_baseline": None,
+    }
+    log(f"[batch] warm: {dt:.2f}s, {B / dt:.1f} inst/s")
+    print(json.dumps(out), flush=True)
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "batch":
+        bench_batch()
+        return
     name, path = find_instance()
     log(f"instance: {name}")
     import jax

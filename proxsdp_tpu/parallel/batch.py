@@ -118,6 +118,37 @@ def _index_state(states: State, i: int) -> State:
     return jax.tree_util.tree_map(lambda x: np.asarray(x)[i], states)
 
 
+def _batch_operands(setups, dt, force_linop=None):
+    from ..ops.linop import build_linop
+
+    M = build_linop(setups[0].A, setups[0].G, dt, force=force_linop)
+    return Operands(
+        M=M,
+        b=jnp.asarray(np.stack([s.b for s in setups]), dt),
+        h=jnp.asarray(np.stack([s.h for s in setups]), dt),
+        c=jnp.asarray(np.stack([s.c for s in setups]), dt),
+        norm_b=jnp.asarray(np.array([s.norm_b for s in setups]), dt),
+        norm_h=jnp.asarray(np.array([s.norm_h for s in setups]), dt),
+        norm_c=jnp.asarray(np.array([s.norm_c for s in setups]), dt),
+        chunk_end=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _cast_states_batch(states: State, dtype) -> State:
+    """Batched hybrid hand-over: cast float leaves, clear ALL statuses so
+    the f64 program re-judges every instance from live residuals (same
+    rule as the single-instance driver: f32 decisions are never final)."""
+
+    def cast(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    states = jax.tree_util.tree_map(cast, states)
+    return states._replace(status=jnp.zeros_like(states.status))
+
+
 def solve_batch(
     problems: Sequence[ConicProblem],
     options: Options | None = None,
@@ -126,7 +157,15 @@ def solve_batch(
     **kwargs,
 ) -> list[Result]:
     """Solve a batch of same-geometry problems; optionally sharded over a
-    mesh data axis. Returns one Result per instance."""
+    mesh data axis. Returns one Result per instance.
+
+    With the default ``dtype="float64", hybrid_precision=True`` the sweep
+    races in f32 (MXU-rate) until every instance has either converged to
+    ``hybrid_switch_factor * tol``, terminated, or hit its f32 noise floor
+    (no 1.2x best-metric improvement over 3 consecutive chunks), then the
+    whole batch is cast to f64 and finished by the f64 program — the
+    batched version of the single-instance hybrid driver in solver.solve.
+    """
     opts = _force_batch_options((options or Options()).replace(**kwargs))
     t0 = time.time()
 
@@ -136,25 +175,18 @@ def solve_batch(
         if s.layout != layout:
             raise ValueError("all batched problems must share one geometry")
 
-    from ..ops.linop import build_linop
-
-    dtype = jnp.float64 if opts.dtype == "float64" else jnp.float32
-    M = build_linop(setups[0].A, setups[0].G, dtype)
-
     B = len(setups)
-    ops = Operands(
-        M=M,
-        b=jnp.asarray(np.stack([s.b for s in setups]), dtype),
-        h=jnp.asarray(np.stack([s.h for s in setups]), dtype),
-        c=jnp.asarray(np.stack([s.c for s in setups]), dtype),
-        norm_b=jnp.asarray(np.array([s.norm_b for s in setups]), dtype),
-        norm_h=jnp.asarray(np.array([s.norm_h for s in setups]), dtype),
-        norm_c=jnp.asarray(np.array([s.norm_c for s in setups]), dtype),
-        chunk_end=jnp.asarray(0, jnp.int32),
-    )
-    states = _stack_states([init_state(layout, opts, s) for s in setups])
+    hybrid = opts.dtype == "float64" and opts.hybrid_precision
+    phase_opts = opts.replace(dtype="float32") if hybrid else opts
+    phase_dt = jnp.float32 if phase_opts.dtype == "float32" else jnp.float64
 
-    if mesh is not None:
+    ops = _batch_operands(setups, phase_dt)
+    states = _stack_states([init_state(layout, phase_opts, s) for s in setups])
+    tau0 = np.asarray(states.primal_step, np.float64).copy()
+
+    def shard_tree(states, ops):
+        if mesh is None:
+            return states, ops
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         def shard(x):
@@ -170,8 +202,10 @@ def solve_batch(
             norm_b=shard(ops.norm_b), norm_h=shard(ops.norm_h),
             norm_c=shard(ops.norm_c),
         )
+        return states, ops
 
-    run_chunk, fetch = _cached_batch_runner(layout, opts)
+    states, ops = shard_tree(states, ops)
+    run_chunk, fetch = _cached_batch_runner(layout, phase_opts)
     budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
     # on-device convergence logic -> large chunks are semantics-preserving
     chunk = opts.chunk_iters or (
@@ -180,6 +214,89 @@ def solve_batch(
         else 1024
     )
 
+    # ---- phase 1 (hybrid only): f32 race with per-instance stall tracking
+    if hybrid:
+        F = opts.hybrid_switch_factor
+        best = np.full(B, np.inf)
+        stall = np.zeros(B, np.int64)
+        ready = np.zeros(B, bool)
+        while True:
+            iters_now = np.asarray(states.iter)
+            run_mask = ~ready
+            k0 = int(iters_now[run_mask].min()) if run_mask.any() else int(
+                iters_now.min()
+            )
+            target = min(k0 + chunk, budget.max_iter)
+            ops = ops._replace(chunk_end=jnp.asarray(target, jnp.int32))
+            states = run_chunk(states, ops)
+            sc = np.asarray(fetch(states))
+            iters = sc[:, 0].astype(int)
+            status = sc[:, 1].astype(int)
+            gap, feas = sc[:, 2], sc[:, 3]
+            metric = np.maximum(gap, feas)
+            improved = metric < best / 1.2
+            best = np.where(improved, metric, best)
+            stall = np.where(improved, 0, stall + 1)
+            near = (gap <= F * opts.tol_gap) & (feas <= F * opts.tol_feasibility)
+            ready |= (status != 0) | near | (stall >= 3) | (
+                iters >= budget.max_iter
+            )
+            elapsed = time.time() - t0
+            if opts.log_verbose:
+                print(
+                    f"  [batch/f32] iter>={iters.min()} ready={int(ready.sum())}"
+                    f"/{B} max_gap={np.nanmax(gap):.2e} t={elapsed:.1f}s"
+                )
+            if ready.all() or elapsed >= budget.time_limit:
+                break
+
+        # hand over: cast to f64, clear statuses; restart the adaptive-step
+        # machinery of stalled/NaN instances (batched form of the
+        # single-instance stalled/blew_up handling)
+        sc = np.asarray(fetch(states))
+        near_now = (sc[:, 2] <= F * opts.tol_gap) & (
+            sc[:, 3] <= F * opts.tol_feasibility
+        )
+        bad = ((stall >= 3) & ~near_now) | ~np.isfinite(sc[:, 2:6]).all(axis=1)
+        states = _cast_states_batch(states, jnp.float64)
+        if bad.any():
+            nan_rows = ~np.isfinite(
+                np.asarray(states.x, np.float64).reshape(B, -1)
+            ).all(axis=1)
+            if nan_rows.any():
+                fresh = _stack_states(
+                    [init_state(layout, opts, s) for s in setups]
+                )
+
+                def splice(cur, fr):
+                    cur = np.asarray(cur)
+                    mask = nan_rows.reshape((-1,) + (1,) * (cur.ndim - 1))
+                    return jnp.asarray(np.where(mask, np.asarray(fr), cur))
+
+                it_keep = states.iter
+                states = jax.tree_util.tree_map(splice, states, fresh)
+                states = states._replace(iter=it_keep)
+            badm = jnp.asarray(bad)
+
+            def rs(val, new):
+                return jnp.where(badm, jnp.asarray(new, jnp.float64), val)
+
+            states = states._replace(
+                primal_step=rs(states.primal_step, tau0),
+                primal_step_old=rs(states.primal_step_old, tau0),
+                dual_step=rs(states.dual_step, tau0),
+                theta=rs(states.theta, opts.initial_theta),
+                beta=rs(states.beta, opts.initial_beta),
+                adapt_level=rs(states.adapt_level, opts.initial_adapt_level),
+                ada_count=jnp.where(
+                    badm, jnp.zeros_like(states.ada_count), states.ada_count
+                ),
+            )
+        ops = _batch_operands(setups, jnp.float64)
+        states, ops = shard_tree(states, ops)
+        run_chunk, fetch = _cached_batch_runner(layout, opts)
+
+    # ---- final phase: run in the target dtype until every instance stops
     while True:
         iters_now = np.asarray(states.iter)
         status_now = np.asarray(states.status)
@@ -203,7 +320,7 @@ def solve_batch(
             )
         if not running.any():
             break
-        if iters.min() >= budget.max_iter or elapsed >= budget.time_limit:
+        if iters[running].min() >= budget.max_iter or elapsed >= budget.time_limit:
             break
 
     # finalize per instance (host-side, one transfer per array via numpy)

@@ -764,6 +764,9 @@ def solve(
     layout = setup.layout
     dtype = jnp.float64 if opts.dtype == "float64" else jnp.float32
 
+    if opts.log_verbose:
+        _print_header(layout, opts)
+
     # optional diagonal preconditioning (reference pdhg.jl:64-92); mutates
     # setup.A/G/b/h/c before the operator and step sizes are built
     equil = None
@@ -1260,6 +1263,30 @@ def _cache_solution(
         certificate_found=certificate_found,
         result_count=1,
     )
+
+
+def _print_header(layout: ConeLayout, opts: Options):
+    """Banner + problem/parameter summary (reference printing.jl:1-95)."""
+    import jax as _jax
+
+    bar = "=" * 74
+    print(bar)
+    print("  proxsdp_tpu — TPU-native PDHG conic solver"
+          f"  [backend: {_jax.default_backend()}]")
+    print(bar)
+    print(f"  variables      : {layout.n} "
+          f"(free: {layout.n_free})")
+    print(f"  equalities     : {layout.p}    inequalities: {layout.m}")
+    if layout.sdp_sides:
+        sides = ", ".join(str(s) for s in layout.sdp_sides)
+        print(f"  PSD blocks     : {len(layout.sdp_sides)} (sides: {sides})")
+    if layout.soc_lens:
+        lens = ", ".join(str(s) for s in layout.soc_lens)
+        print(f"  SOC blocks     : {len(layout.soc_lens)} (lens: {lens})")
+    print(f"  tol_gap={opts.tol_gap:.1e}  tol_feas={opts.tol_feasibility:.1e}  "
+          f"tol_psd={opts.tol_psd:.1e}  dtype={opts.dtype}"
+          + ("+hybrid" if opts.hybrid_precision and opts.dtype == "float64" else ""))
+    print(bar)
 
 
 def _log_progress(sc, state, elapsed):

@@ -18,7 +18,7 @@ def problems():
 
 class TestBatch:
     def test_matches_single_solves(self, problems):
-        res = solve_batch(problems, px.Options())
+        res = solve_batch(problems, px.Options(hybrid_precision=False))
         assert all(r.status == 1 for r in res)
         for i in (0, 3, 7):
             single = solve(problems[i], px.Options(
@@ -26,12 +26,27 @@ class TestBatch:
                 hybrid_precision=False))
             assert abs(res[i].objval - single.objval) < 1e-6
 
+    def test_hybrid_batch_converges(self, problems):
+        """Default (hybrid f32->f64) batch driver reaches the same optima
+        within solver tolerance."""
+        res_h = solve_batch(problems, px.Options())
+        res_p = solve_batch(problems, px.Options(hybrid_precision=False))
+        assert all(r.status == 1 for r in res_h)
+        for a, b in zip(res_h, res_p):
+            # two independent PDHG trajectories at rel-gap tol 1e-4: compare
+            # objectives in the same relative metric the tolerance is set in
+            rel = abs(a.objval - b.objval) / (1.0 + abs(a.objval) + abs(b.objval))
+            assert rel < 1e-3, (a.objval, b.objval)
+
     def test_sharded_matches_unsharded(self, problems):
         from jax.sharding import Mesh
 
         mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
-        res_u = solve_batch(problems, px.Options())
-        res_s = solve_batch(problems, px.Options(), mesh=mesh)
+        # pure-f64 path: deterministic across shardings (hybrid's f32 phase
+        # has sharding-dependent reduction order)
+        o = px.Options(hybrid_precision=False)
+        res_u = solve_batch(problems, o)
+        res_s = solve_batch(problems, o, mesh=mesh)
         for a, b in zip(res_u, res_s):
             assert a.status == b.status
             assert abs(a.objval - b.objval) < 1e-9

@@ -190,6 +190,14 @@ class Options:
     # roadmap gap; README.md:145-148 lists warm start as future work).
     # Supplied per-call via solve(..., warm_start=...), not here.
 
+    # Checkpoint/resume (no reference counterpart — SURVEY.md §5 lists
+    # checkpointing as absent upstream).  When checkpoint_path is set, the
+    # full solver state is written there atomically every
+    # checkpoint_freq iterations (at chunk boundaries); resume with
+    # solve(..., resume_from=path).
+    checkpoint_path: str = ""
+    checkpoint_freq: int = 0  # iterations between saves; 0 = off
+
     def __post_init__(self):
         if self.dtype not in ("float64", "float32"):
             raise ValueError(f"dtype must be float64|float32, got {self.dtype}")

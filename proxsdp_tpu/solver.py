@@ -631,6 +631,8 @@ _DRIVER_ONLY_DEFAULTS = dict(
     power_iters=50,
     hybrid_precision=True,
     hybrid_switch_factor=10.0,
+    checkpoint_path="",
+    checkpoint_freq=0,
 )
 
 
@@ -747,6 +749,7 @@ def solve(
     problem,
     options: Options | None = None,
     warm_start=None,
+    resume_from: str | None = None,
     **kwargs,
 ) -> Result:
     """Solve a ConicProblem (or pre-built SetupProblem). Main entry point.
@@ -754,6 +757,10 @@ def solve(
     warm_start: a previous Result for the same problem geometry, or a
     tuple (x, dual_eq, dual_in) in user variable order.  (The reference
     lists warm starting as roadmap future work, README.md:145-148.)
+
+    resume_from: path to a checkpoint written via the checkpoint_path /
+    checkpoint_freq options — continues the PDHG loop from the saved
+    state (same problem + geometry required).
     """
     opts = options or Options()
     if kwargs:
@@ -821,6 +828,17 @@ def solve(
         state = init_state(layout, opts, setup, warm=warm)
         phase32 = False
 
+    if resume_from:
+        from .utils.checkpoint import load_checkpoint
+
+        state, saved_phase32 = load_checkpoint(resume_from)
+        if hybrid and saved_phase32:
+            phase32 = True
+        else:
+            phase32 = False
+            if jnp.asarray(state.x).dtype != dtype:
+                state = _cast_state(state, dtype)
+
     budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
     # Convergence/divergence/adaptive logic runs ON DEVICE every iteration;
     # the chunk boundary only gates wall-clock checks, logging and
@@ -834,6 +852,7 @@ def solve(
     else:
         chunk = 1024
     log_next = opts.log_freq
+    ckpt_next = opts.checkpoint_freq
 
     cert_ctx = {
         "snapshot": None,  # Result cached when declaring 5/6
@@ -913,6 +932,17 @@ def solve(
         if opts.log_verbose and k >= log_next:
             _log_progress(sc, state, elapsed)
             log_next += opts.log_freq
+
+        if (
+            opts.checkpoint_path
+            and opts.checkpoint_freq > 0
+            and cert_ctx["mode"] == 0
+            and k >= ckpt_next
+        ):
+            from .utils.checkpoint import save_checkpoint
+
+            save_checkpoint(opts.checkpoint_path, state, phase32)
+            ckpt_next = k + opts.checkpoint_freq
 
         if phase32:
             # hand over to f64 once close to tolerance, on any status, at a

@@ -173,6 +173,38 @@ class TestTermination:
         res = opt.optimize()
         assert res.status == 5, res.status_string
 
+    def test_infeasible_sdp_dual_ray(self):
+        """Certificate search finds a Farkas dual ray for an infeasible SDP
+        (reference certificate_infeasibility, pdhg.jl:655-668)."""
+        opt = px.Optimizer()
+        X = opt.add_psd_var(2)
+        opt.add_eq_constraint({int(X[0, 0]): 1.0}, -1.0)  # x11 = -1, X psd
+        opt.set_objective({int(X[1, 1]): 1.0}, sense="min")
+        res = opt.optimize()
+        assert res.status == 6
+        assert res.certificate_found
+        assert "ray" in res.status_string.lower()
+
+    def test_unbounded_lp_primal_ray(self):
+        """Certificate search finds a primal ray for an unbounded LP
+        (reference certificate_dual_infeasibility, pdhg.jl:639-653)."""
+        opt = px.Optimizer()
+        opt.add_free_vars(1)
+        opt.add_ineq_constraint({0: 1.0}, 0.0)  # x <= 0
+        opt.set_objective({0: 1.0}, sense="min")
+        res = opt.optimize()
+        assert res.status == 5
+        assert res.certificate_found
+
+    def test_certificate_search_disabled(self):
+        opt = px.Optimizer(certificate_search=False)
+        X = opt.add_psd_var(2)
+        opt.add_eq_constraint({int(X[0, 0]): 1.0}, -1.0)
+        opt.set_objective({int(X[1, 1]): 1.0}, sense="min")
+        res = opt.optimize()
+        assert res.status == 6
+        assert not res.certificate_found
+
 
 class TestWarmStart:
     def test_warm_start_cuts_iterations(self):
@@ -194,6 +226,51 @@ class TestWarmStart:
         )
         assert res2.status == 1
         assert abs(res2.objval - res1.objval) < 1e-2
+
+
+class TestCheckpoint:
+    def test_checkpoint_and_resume(self, tmp_path):
+        """Interrupt a solve at an iteration limit, resume from the
+        checkpoint, and converge (no reference counterpart: SURVEY.md §5
+        documents checkpointing as absent upstream)."""
+        from proxsdp_tpu.solver import solve
+
+        ckpt = str(tmp_path / "state.npz")
+        opt, _ = build_maxcut_opt()
+        prob = opt.build_problem()
+        # phase 1: stop early with a checkpoint on disk
+        r1 = solve(prob, px.Options(
+            checkpoint_path=ckpt, checkpoint_freq=10, max_iter=60,
+            chunk_iters=20, min_iter=0))
+        assert r1.status == 3  # iteration limit
+        import os
+        assert os.path.exists(ckpt)
+        # phase 2: resume and run to optimality
+        r2 = solve(prob, px.Options(min_iter=0), resume_from=ckpt)
+        assert r2.status == 1
+        assert abs(r2.objval - 18.0) < 5e-2
+        assert r2.iter > 20  # continued from the saved iterate
+
+    def test_checkpoint_roundtrip_state(self, tmp_path):
+        from proxsdp_tpu.problem import preprocess
+        from proxsdp_tpu.solver import init_state
+        from proxsdp_tpu.utils.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        opt, _ = build_maxcut_opt()
+        setup = preprocess(opt.build_problem())
+        s = init_state(setup.layout, px.Options(), setup)
+        p = str(tmp_path / "s.npz")
+        save_checkpoint(p, s, phase32=True)
+        s2, ph = load_checkpoint(p)
+        assert ph is True
+        np.testing.assert_array_equal(np.asarray(s.x), np.asarray(s2.x))
+        np.testing.assert_array_equal(
+            np.asarray(s.buf_gap), np.asarray(s2.buf_gap)
+        )
+        assert len(s.warm) == len(s2.warm)
 
 
 class TestOptions:

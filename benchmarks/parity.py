@@ -1,0 +1,157 @@
+"""SDPLIB parity harness — the reference's benchmark suite, TPU-native.
+
+Mirrors test/runbench.jl (reference: instance sets :102-156, 5-min cap
+:39-44, CSV columns :88-96): for each instance, solve and log
+  class, instance, status, time, objective, final rank,
+  linear-constraint violation, PSD violation (most-negative eigenvalue),
+  |obj - published| when the SDPLIB optimum is known.
+
+Usage:
+    python benchmarks/parity.py [--set mini|mcp|gpp|full] [--tol 1e-4]
+                                [--time-limit 300] [--out parity.csv]
+
+Published optima: SDPLIB 1.2 (Borchers), via the problem set's README —
+values quoted to the precision commonly reported.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+DATA_DIR = os.environ.get("SDPLIB_DIR", "/root/reference/test/data")
+
+# SDPLIB published optimal objective values (primal, in SDPLIB's min
+# convention; the .dat-s parser returns problems whose solved objective
+# matches -value for the mcp/gpp families as in the reference's tests).
+PUBLISHED = {
+    "mcp124-1": 141.990,
+    "mcp124-2": 269.880,
+    "mcp124-3": 467.750,
+    "mcp124-4": 864.412,
+    "mcp250-1": 317.2643,
+    "mcp250-2": 531.930,
+    "mcp250-3": 981.172,
+    "mcp250-4": 1681.960,
+    "mcp500-1": 598.1485,
+    "mcp500-2": 1070.057,
+    "mcp500-3": 1847.970,
+    "mcp500-4": 3566.738,
+    "gpp124-1": -7.3431,
+    "gpp124-2": -46.8623,
+    "gpp124-3": -153.0141,
+    "gpp124-4": -418.9876,
+    "gpp250-1": -15.4449,
+    "gpp250-2": -81.869,
+    "gpp250-3": -303.539,
+    "gpp250-4": -747.3283,
+    "gpp500-1": -25.320,
+    "gpp500-2": -156.060,
+    "gpp500-3": -513.018,
+    "gpp500-4": -1567.02,
+}
+
+SETS = {
+    "mini": ["mcp124-1", "gpp124-1"],
+    "mcp": [f"mcp{n}-{i}" for n in (124, 250) for i in (1, 2, 3, 4)],
+    "gpp": [f"gpp{n}-{i}" for n in (124, 250) for i in (1, 2, 3, 4)],
+    # the reference's runbench SDPLIB selection (test/runbench.jl:118-141)
+    "full": [
+        f"{fam}{n}-{i}"
+        for fam in ("gpp", "mcp")
+        for n in (124, 250, 500)
+        for i in (1, 2, 3, 4)
+    ],
+}
+
+
+def violations(res, problem):
+    """Linear violation (inf-norm of Ax-b / one-sided Gx-h) and PSD
+    violation (most negative eigenvalue over PSD blocks) of the returned
+    primal — same quantities runbench.jl logs."""
+    import scipy.sparse as sp
+
+    from proxsdp_tpu.utils.vech import ivec, offdiag_mask_tri
+
+    x = res.primal
+    lin = 0.0
+    if problem.A is not None and problem.A.shape[0]:
+        lin = max(lin, float(np.abs(problem.A @ x - problem.b).max()))
+    if problem.G is not None and problem.G.shape[0]:
+        lin = max(lin, float(np.maximum(problem.G @ x - problem.h, 0.0).max()))
+    psd = 0.0
+    for idx in problem.sdp_vars:
+        v = np.asarray(x[idx], np.float64)
+        X = ivec(v)
+        w = np.linalg.eigvalsh(X)
+        psd = min(psd, float(w[0]))
+    return lin, psd
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--set", default="mini", choices=sorted(SETS))
+    ap.add_argument("--tol", type=float, default=1e-4)
+    ap.add_argument("--time-limit", type=float, default=300.0)
+    ap.add_argument("--out", default="parity.csv")
+    args = ap.parse_args()
+
+    import proxsdp_tpu as px
+    from proxsdp_tpu.models.sdplib import sdplib_problem
+    from proxsdp_tpu.solver import solve
+
+    rows = []
+    for name in SETS[args.set]:
+        path = os.path.join(DATA_DIR, f"{name}.dat-s")
+        if not os.path.exists(path):
+            print(f"{name}: MISSING", flush=True)
+            continue
+        opts = px.Options(
+            tol_gap=args.tol,
+            tol_feasibility=args.tol,
+            time_limit=args.time_limit,
+        )
+        problem, _ = sdplib_problem(path, opts)
+        t0 = time.time()
+        res = solve(problem, opts)
+        dt = time.time() - t0
+        lin, psd = violations(res, problem)
+        pub = PUBLISHED.get(name)
+        err = abs(abs(res.objval) - abs(pub)) / max(abs(pub), 1.0) if pub else None
+        rows.append(
+            dict(
+                instance=name,
+                status=res.status,
+                time_s=round(dt, 2),
+                obj=round(res.objval, 4),
+                published=pub,
+                rel_err=None if err is None else round(err, 6),
+                rank=res.final_rank,
+                iters=res.iter,
+                lin_viol=f"{lin:.2e}",
+                psd_viol=f"{psd:.2e}",
+            )
+        )
+        print(
+            f"{name}: st={res.status} t={dt:.1f}s obj={res.objval:.4f} "
+            f"pub={pub} rel_err={err if err is None else f'{err:.2e}'} "
+            f"rank={res.final_rank} lin={lin:.1e} psd={psd:.1e}",
+            flush=True,
+        )
+
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {args.out} ({len(rows)} rows)")
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,76 @@ def psd_projection_block(
         cur = jnp.sum(w > opt.tol_psd).astype(jnp.int32)
         return Xp, jnp.asarray(0.0, dtype), cur, V[:, -1].astype(dtype)
 
+    # ---- persistent-subspace Rayleigh-Ritz projection (TPU-native; no
+    # reference counterpart).  One subspace-iteration step per PDHG
+    # iteration on a warm (side, k) basis: all matmuls (MXU) instead of the
+    # O(side^3) serialized eigh — the payoff is largest for emulated-f64
+    # polish phases.  Residual-checked: any untrusted Ritz pair falls back
+    # to dense eigh, which also reseeds the basis with the true top-k
+    # eigenvectors (so at most one slow iteration after any subspace loss).
+    k_sub = int(min(opt.subspace_rank, side))
+    if k_sub > 0 and k_sub < side // 2 and warm.ndim == 2:
+
+        def full_path_sub(X):
+            w, V = jnp.linalg.eigh(X.astype(eig_dtype))  # ascending
+            pos = jnp.maximum(w, 0.0)
+            Xp = ((V * pos[None, :]) @ V.T).astype(dtype)
+            cur = jnp.sum(w > opt.tol_psd).astype(jnp.int32)
+            me = jnp.asarray(0.0, dtype)
+            Vk = V[:, -k_sub:][:, ::-1].astype(dtype)  # top-k, descending
+            return Xp, me, cur, Vk
+
+        def _cholqr2(Y):
+            # CholeskyQR2: tall-skinny orthonormalization via two
+            # Gram+Cholesky passes — matmul work only (no Householder
+            # serialization on device)
+            def one(Yc):
+                G = Yc.T @ Yc
+                jit_eps = jnp.asarray(1e-12, dtype) * (
+                    jnp.trace(G) / k_sub + 1.0
+                )
+                R = jnp.linalg.cholesky(G + jit_eps * jnp.eye(k_sub, dtype=dtype))
+                Q = jax.scipy.linalg.solve_triangular(
+                    R, Yc.T, lower=True
+                ).T
+                return Q
+
+            return one(one(Y))
+
+        def subspace_path(X):
+            Q = _cholqr2(X @ warm)
+            Z = X @ Q
+            B = Q.T @ Z
+            B = 0.5 * (B + B.T)
+            theta, U = jnp.linalg.eigh(B)  # ascending, k x k (cheap)
+            W = Q @ U  # Ritz vectors
+            XW = Z @ U
+            rn = jnp.sqrt(jnp.sum((XW - W * theta[None, :]) ** 2, axis=0))
+            pos = theta > 0.0
+            scale = jnp.maximum(jnp.max(jnp.abs(theta)), 1.0)
+            ok_resid = jnp.all(
+                jnp.where(pos, rn <= opt.subspace_tol * scale, True)
+            )
+            # the basis must also exhibit a non-positive direction, i.e.
+            # the positive eigenspace fits strictly inside the subspace
+            covers = jnp.min(theta) <= opt.tol_psd
+            conv_ok = ok_resid & covers
+
+            def reconstruct(_):
+                lam = jnp.maximum(theta, 0.0)
+                Xp = (W * lam[None, :]) @ W.T
+                me = jnp.min(theta).astype(dtype)
+                cur = jnp.sum(theta > opt.tol_psd).astype(jnp.int32)
+                # new warm basis: Ritz vectors, dominant first
+                return Xp, me, cur, W[:, ::-1]
+
+            return jax.lax.cond(
+                conv_ok, reconstruct, lambda _: full_path_sub(X), operand=None
+            )
+
+        Xp, me, cur, wv = subspace_path(X)
+        return PsdProjResult(square_to_tri(Xp, side), me, cur, wv)
+
     use_lz = (
         allow_lanczos
         and not opt.full_eig_decomp

@@ -190,6 +190,28 @@ class Options:
     # roadmap gap; README.md:145-148 lists warm start as future work).
     # Supplied per-call via solve(..., warm_start=...), not here.
 
+    # Persistent-subspace Rayleigh-Ritz PSD projection (TPU-native; no
+    # reference counterpart).  When subspace_rank = k > 0, PSD blocks with
+    # side > 2k are projected via one warm subspace-iteration step per PDHG
+    # iteration (CholeskyQR2 + k x k eigh — all matmuls) with a
+    # residual-checked fallback to dense eigh that also reseeds the basis.
+    # The hybrid driver turns this on automatically for the f64 polish
+    # phase (see polish_subspace), sizing k from the rank the f32 phase
+    # observed; set it explicitly to force the path everywhere.
+    subspace_rank: int = 0
+    # Relative Ritz-residual bound (vs the dominant eigenvalue) below which
+    # a subspace projection is trusted.
+    subspace_tol: float = 1e-9
+    # Let the hybrid driver use the subspace projection for the f64 polish
+    # phase (effective when dtype="float64" and hybrid_precision).
+    # Default OFF pending axon-compiler validation: the subspace polish
+    # program exceeds the current axon service's (already minutes-long)
+    # compile budget; flip on where compiles are sane or cached.
+    polish_subspace: bool = False
+    # Guard width added to the observed rank when the driver sizes the
+    # polish subspace.
+    polish_subspace_guard: int = 8
+
     # Checkpoint/resume (no reference counterpart — SURVEY.md §5 lists
     # checkpointing as absent upstream).  When checkpoint_path is set, the
     # full solver state is written there atomically every

@@ -55,7 +55,11 @@ class BatchPlan(NamedTuple):
 
 def _force_batch_options(opts: Options) -> Options:
     # vmapped cond == select: avoid tracing both Lanczos and eigh per block
-    return opts.replace(use_lanczos=False, certificate_search=False)
+    # (and the subspace path's eigh fallback, which under vmap would run
+    # the dense path every iteration anyway)
+    return opts.replace(
+        use_lanczos=False, certificate_search=False, subspace_rank=0
+    )
 
 
 @functools.lru_cache(maxsize=32)

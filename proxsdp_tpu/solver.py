@@ -156,9 +156,16 @@ def init_state(
     rng = np.random.RandomState(opts.eigsolver_resid_seed)
     warm = []
     for side in layout.sdp_sides:
-        v = rng.randn(side)
-        v /= max(np.linalg.norm(v), 1e-12)
-        warm.append(v.astype(dtype))
+        k_sub = int(min(opts.subspace_rank, side))
+        if k_sub > 0 and k_sub < side // 2:
+            # subspace-projection mode: orthonormal (side, k) start basis
+            V = rng.randn(side, k_sub)
+            Q, _ = np.linalg.qr(V)
+            warm.append(Q.astype(dtype))
+        else:
+            v = rng.randn(side)
+            v /= max(np.linalg.norm(v), 1e-12)
+            warm.append(v.astype(dtype))
     if not layout.sdp_sides:
         warm.append(z(1))
 
@@ -633,6 +640,8 @@ _DRIVER_ONLY_DEFAULTS = dict(
     hybrid_switch_factor=10.0,
     checkpoint_path="",
     checkpoint_freq=0,
+    polish_subspace=True,
+    polish_subspace_guard=8,
 )
 
 
@@ -647,6 +656,16 @@ def _cached_runner_normalized(layout: ConeLayout, opts: Options):
 
 def _cached_runner(layout: ConeLayout, opts: Options):
     return _cached_runner_normalized(layout, _runner_key_options(opts))
+
+
+def _sub_bucket(k: int) -> int:
+    """Round a polish-subspace width up to a bounded set of buckets (each
+    bucket is a separate compiled program; compiles cost minutes on some
+    runtimes). 0 = rank too large, use dense eigh."""
+    for b in (16, 24, 32, 48, 64, 96, 128):
+        if k <= b:
+            return b
+    return 0
 
 
 def _cast_state(s: State, dtype) -> State:
@@ -838,6 +857,17 @@ def solve(
             phase32 = False
             if jnp.asarray(state.x).dtype != dtype:
                 state = _cast_state(state, dtype)
+            if (
+                layout.sdp_sides
+                and np.asarray(state.warm[0]).ndim == 2
+                and opts.subspace_rank == 0
+            ):
+                # checkpoint was taken in the subspace-polish phase:
+                # rebuild the matching runner
+                k_saved = int(np.asarray(state.warm[0]).shape[1])
+                run_chunk, _, fetch = _cached_runner(
+                    layout, opts.replace(subspace_rank=k_saved)
+                )
 
     budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
     # Convergence/divergence/adaptive logic runs ON DEVICE every iteration;
@@ -985,6 +1015,63 @@ def solve(
                     phase32 = False
                     continue
                 state = _cast_state(state, jnp.float64)
+                # f64 polish program: persistent-subspace projection sized
+                # from the rank the f32 phase observed (bucketed to bound
+                # the number of compiled variants)
+                if (
+                    opts.polish_subspace
+                    and opts.subspace_rank == 0
+                    and layout.sdp_sides
+                ):
+                    # one host-side eigh per block: a RELATIVE-threshold
+                    # rank estimate (the device's current_rank counts every
+                    # eigenvalue above the absolute tol_psd — hugely
+                    # inflated mid-convergence) and an exact top-k basis so
+                    # the polish phase starts with zero fallback iterations
+                    from .ops.tri import _maps as _tri_maps
+
+                    x_host = np.asarray(state.x, np.float64)
+                    specs = []
+                    for off, side in zip(
+                        layout.sdp_offsets, layout.sdp_sides
+                    ):
+                        tl = sympackedlen(side)
+                        gidx, in_scale, _, _ = _tri_maps(side)
+                        Xm = (
+                            x_host[off : off + tl][gidx] * in_scale
+                        ).reshape(side, side)
+                        w, V = np.linalg.eigh(Xm)
+                        lam_max = max(float(w[-1]), 0.0)
+                        r_blk = int(
+                            np.sum(
+                                w
+                                > max(opts.tol_psd, 1e-4 * max(lam_max, 1e-12))
+                            )
+                        )
+                        specs.append((side, V, r_blk))
+                    r_obs = max(r for _, _, r in specs)
+                    k = _sub_bucket(r_obs + opts.polish_subspace_guard)
+                    if k and any(k < side // 2 for side in layout.sdp_sides):
+                        opts_polish = opts.replace(subspace_rank=k)
+                        run_chunk, _, fetch = _cached_runner(
+                            layout, opts_polish
+                        )
+                        new_warm = []
+                        for bi, (side, V, _r) in enumerate(specs):
+                            k_sub = int(min(k, side))
+                            if k_sub > 0 and k_sub < side // 2:
+                                Vk = V[:, -k_sub:][:, ::-1].copy()
+                                new_warm.append(jnp.asarray(Vk, jnp.float64))
+                            else:
+                                new_warm.append(
+                                    jnp.asarray(state.warm[bi], jnp.float64)
+                                )
+                        state = state._replace(warm=tuple(new_warm))
+                        if opts.log_verbose:
+                            print(
+                                f"  [hybrid] f64 polish: subspace rank {k} "
+                                f"(observed {r_obs})"
+                            )
                 if stalled:
                     # the f32 phase wedged its adaptive step machinery
                     # (beta blow-up): restart steps at the f64 hand-over,

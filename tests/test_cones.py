@@ -82,6 +82,77 @@ class TestPSDFull:
             assert np.isclose(float(res.block[0]), expect)
 
 
+class TestSubspace:
+    """Persistent-subspace Rayleigh-Ritz projection (TPU-native path)."""
+
+    def _project(self, S, side, k, warm):
+        opts = Options(subspace_rank=k)
+        v = np.asarray(square_to_tri(jnp.asarray(S), side))
+        return psd_projection_block(
+            jnp.asarray(v), side, jnp.asarray(2, jnp.int32),
+            jnp.asarray(warm), opt=opts, allow_lanczos=True,
+        )
+
+    def test_cold_start_falls_back_to_oracle(self, rng):
+        side, k = 40, 8
+        S = rng.randn(side, side)
+        S = (S + S.T) / 2
+        Q, _ = np.linalg.qr(rng.randn(side, k))
+        res = self._project(S, side, k, Q)
+        got = np.asarray(tri_to_square(res.block, side))
+        # a random basis fails the residual check -> dense-eigh fallback
+        assert np.allclose(got, psd_oracle(S), atol=1e-9)
+        assert res.warm.shape == (side, k)
+
+    def test_warm_basis_projects_exactly(self, rng):
+        # rank-3 PSD + tiny negative tail: the exact invariant basis must
+        # pass the residual check and reproduce the oracle via matmuls only
+        side, r, k = 40, 3, 8
+        U, _ = np.linalg.qr(rng.randn(side, side))
+        w = np.zeros(side)
+        w[:r] = [5.0, 3.0, 1.0]
+        w[r:] = -np.linspace(0.5, 2.0, side - r)
+        S = (U * w) @ U.T
+        warm = U[:, : k]  # exact invariant subspace incl. guard direction
+        res = self._project(S, side, k, warm)
+        got = np.asarray(tri_to_square(res.block, side))
+        assert np.allclose(got, psd_oracle(S), atol=1e-8)
+        assert int(res.current_rank) == r
+        assert float(res.min_eig) < 0.0  # covers check saw a neg direction
+
+    def test_warm_iteration_tracks_slow_drift(self, rng):
+        """Repeated projection of a slowly drifting matrix keeps passing
+        the subspace check (the PDHG steady-state regime)."""
+        side, r, k = 30, 2, 8
+        U, _ = np.linalg.qr(rng.randn(side, side))
+        w = np.concatenate([[4.0, 2.0], -np.ones(side - r)])
+        S = (U * w) @ U.T
+        warm = np.linalg.qr(rng.randn(side, k))[0]
+        res = self._project(S, side, k, warm)  # cold: falls back, reseeds
+        for step in range(5):
+            P = rng.randn(side, side) * 1e-3
+            S = S + (P + P.T) / 2
+            res = self._project(S, side, k, np.asarray(res.warm))
+            got = np.asarray(tri_to_square(res.block, side))
+            assert np.allclose(got, psd_oracle(S), atol=1e-6)
+
+    def test_solver_forced_subspace_matches_default(self):
+        import proxsdp_tpu as px
+        from proxsdp_tpu.models.maxcut import (
+            maxcut_problem,
+            random_graph_weights,
+        )
+        from proxsdp_tpu.solver import solve
+
+        prob, _ = maxcut_problem(random_graph_weights(0, 30))
+        r_ref = solve(prob, px.Options(hybrid_precision=False))
+        r_sub = solve(
+            prob, px.Options(hybrid_precision=False, subspace_rank=8)
+        )
+        assert r_sub.status == 1
+        assert abs(r_sub.objval - r_ref.objval) < 1e-6
+
+
 class TestLanczos:
     @pytest.mark.parametrize("n,k", [(50, 3), (120, 5)])
     def test_topk_eigenpairs_gapped(self, n, k, rng):

@@ -62,6 +62,13 @@ SETS = {
     "mini": ["mcp124-1", "gpp124-1"],
     "mcp": [f"mcp{n}-{i}" for n in (124, 250) for i in (1, 2, 3, 4)],
     "gpp": [f"gpp{n}-{i}" for n in (124, 250) for i in (1, 2, 3, 4)],
+    # CI-scale sweep: the 124/250 series of both families
+    "std": [
+        f"{fam}{n}-{i}"
+        for fam in ("mcp", "gpp")
+        for n in (124, 250)
+        for i in (1, 2, 3, 4)
+    ],
     # the reference's runbench SDPLIB selection (test/runbench.jl:118-141)
     "full": [
         f"{fam}{n}-{i}"
@@ -107,6 +114,15 @@ def main():
     from proxsdp_tpu.models.sdplib import sdplib_problem
     from proxsdp_tpu.solver import solve
 
+    fieldnames = [
+        "instance", "status", "time_s", "obj", "published", "rel_err",
+        "rank", "iters", "lin_viol", "psd_viol",
+    ]
+    out_f = open(args.out, "w", newline="")
+    writer = csv.DictWriter(out_f, fieldnames=fieldnames)
+    writer.writeheader()
+    out_f.flush()
+
     rows = []
     for name in SETS[args.set]:
         path = os.path.join(DATA_DIR, f"{name}.dat-s")
@@ -139,6 +155,8 @@ def main():
                 psd_viol=f"{psd:.2e}",
             )
         )
+        writer.writerow(rows[-1])
+        out_f.flush()
         print(
             f"{name}: st={res.status} t={dt:.1f}s obj={res.objval:.4f} "
             f"pub={pub} rel_err={err if err is None else f'{err:.2e}'} "
@@ -146,10 +164,7 @@ def main():
             flush=True,
         )
 
-    with open(args.out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
+    out_f.close()
     print(f"wrote {args.out} ({len(rows)} rows)")
 
 

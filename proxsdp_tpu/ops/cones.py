@@ -71,6 +71,7 @@ def psd_projection_block(
     *,
     opt,
     allow_lanczos: bool,
+    accept_tol=None,
 ):
     """Project one packed PSD block onto the PSD cone.
 
@@ -178,9 +179,17 @@ def psd_projection_block(
             rn = jnp.sqrt(jnp.sum((XW - W * theta[None, :]) ** 2, axis=0))
             pos = theta > 0.0
             scale = jnp.maximum(jnp.max(jnp.abs(theta)), 1.0)
-            ok_resid = jnp.all(
-                jnp.where(pos, rn <= opt.subspace_tol * scale, True)
-            )
+            # acceptance: a one-step Ritz residual is proportional to the
+            # per-iteration drift of X, so a fixed tight tolerance would
+            # reject every step.  The principled rule (the reference's own
+            # thesis — approximate projections with controlled error,
+            # arXiv:1810.05231) is RELATIVE inexactness: accept error
+            # proportional to the current PPA residual (accept_tol, traced)
+            # so projection error decays in lockstep with outer progress.
+            thresh = jnp.asarray(opt.subspace_tol, dtype)
+            if accept_tol is not None:
+                thresh = jnp.maximum(thresh, accept_tol.astype(dtype))
+            ok_resid = jnp.all(jnp.where(pos, rn <= thresh * scale, True))
             # the basis must also exhibit a non-positive direction, i.e.
             # the positive eigenspace fits strictly inside the subspace
             covers = jnp.min(theta) <= opt.tol_psd

@@ -200,14 +200,21 @@ class Options:
     # observed; set it explicitly to force the path everywhere.
     subspace_rank: int = 0
     # Relative Ritz-residual bound (vs the dominant eigenvalue) below which
-    # a subspace projection is trusted.
+    # a subspace projection is trusted unconditionally.
     subspace_tol: float = 1e-9
+    # Relative-inexactness acceptance: additionally trust a subspace
+    # projection whose positive-pair Ritz residual is below
+    # subspace_rel_accept * (current combined PPA residual), capped at
+    # subspace_accept_cap — projection error then decays in lockstep with
+    # outer-loop progress (the reference paper's approximate-projection
+    # principle, arXiv:1810.05231). 0 disables.
+    subspace_rel_accept: float = 0.1
+    subspace_accept_cap: float = 1e-3
     # Let the hybrid driver use the subspace projection for the f64 polish
     # phase (effective when dtype="float64" and hybrid_precision).
-    # Default OFF pending axon-compiler validation: the subspace polish
-    # program exceeds the current axon service's (already minutes-long)
-    # compile budget; flip on where compiles are sane or cached.
-    polish_subspace: bool = False
+    # (On the axon service the polish program's first compile is ~20 min —
+    # the persistent compile cache makes repeat geometries instant.)
+    polish_subspace: bool = True
     # Guard width added to the observed rank when the driver sizes the
     # polish subspace.
     polish_subspace_guard: int = 8

@@ -242,6 +242,18 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
     warm = list(s.warm)
     max_soc_gap = jnp.asarray(-jnp.inf, x.dtype)
 
+    # relative-inexactness budget for the subspace projection: scale with
+    # the latest combined PPA residual (clamped), so projection error
+    # tracks outer-loop progress; before the first residual is available
+    # (iter < 1) the buffer holds zeros -> falls back to subspace_tol
+    accept_tol = None
+    if opts.subspace_rank > 0 and opts.subspace_rel_accept > 0:
+        L = s.buf_comb.shape[0]
+        comb_prev = jnp.abs(s.buf_comb[(s.iter - 1) % L])
+        accept_tol = jnp.minimum(
+            opts.subspace_rel_accept * comb_prev, opts.subspace_accept_cap
+        )
+
     for bi, (off, side) in enumerate(zip(layout.sdp_offsets, layout.sdp_sides)):
         tl = sympackedlen(side)
         res = psd_projection_block(
@@ -251,6 +263,7 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
             s.warm[bi],
             opt=opts,
             allow_lanczos=True,
+            accept_tol=accept_tol,
         )
         x = jax.lax.dynamic_update_slice(x, res.block, (off,))
         min_eig = min_eig.at[bi].set(res.min_eig.astype(min_eig.dtype))

@@ -110,6 +110,13 @@ void* sdpa_parse(const char* path) {
   }
 
   while (p) {
+    // comment lines may appear anywhere in the entry section too —
+    // skip them the same way the Python fallback does
+    if (is_comment(p)) {
+      p = next_line(p, end);
+      if (p) p = skip_ws(p, end);
+      continue;
+    }
     long matno = std::strtol(p, &nxt, 10);
     p = skip_ws(nxt, end);
     if (!p) break;

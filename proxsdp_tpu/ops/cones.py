@@ -72,6 +72,7 @@ def psd_projection_block(
     opt,
     allow_lanczos: bool,
     accept_tol=None,
+    force_full=None,
 ):
     """Project one packed PSD block onto the PSD cone.
 
@@ -194,6 +195,15 @@ def psd_projection_block(
             # the positive eigenspace fits strictly inside the subspace
             covers = jnp.min(theta) <= opt.tol_psd
             conv_ok = ok_resid & covers
+            if force_full is not None:
+                # periodic forced dense reseed: a positive eigendirection
+                # orthogonal to the warm basis is invisible to the Ritz
+                # residual test, so the accepted-subspace path could stall
+                # forever; every subspace_reseed_freq iterations the dense
+                # eigh re-derives the true top-k basis (the reference's
+                # full_eig_freq/full_eig_len play the same role for its
+                # Lanczos engine, prox_operators.jl:49)
+                conv_ok = conv_ok & ~force_full
 
             def reconstruct(_):
                 lam = jnp.maximum(theta, 0.0)
@@ -245,7 +255,10 @@ def psd_projection_block(
 
         return jax.lax.cond(conv_ok, reconstruct, fallback, operand=None)
 
-    # target_rank is traced: decide lanczos vs full at run time
+    # target_rank is traced: decide lanczos vs full at run time; a
+    # force_full pulse (full_eig_freq/full_eig_len cadence) overrides
     pred = target_rank <= opt.max_target_rank_krylov_eigs
+    if force_full is not None:
+        pred = pred & ~force_full
     Xp, me, cur, wv = jax.lax.cond(pred, lanczos_path, full_path, X)
     return PsdProjResult(square_to_tri(Xp, side), me, cur, wv)

@@ -47,6 +47,9 @@ class Options:
     tol_psd: float = 1e-7
     tol_soc: float = 1e-7
 
+    # Host-side dual-feasibility gate on optimality declarations; after a
+    # veto, re-declaration is suppressed for check_dual_feas_freq
+    # iterations (reference pdhg.jl:248-249 cadence).
     check_dual_feas: bool = False
     check_dual_feas_freq: int = 1000
 
@@ -127,6 +130,9 @@ class Options:
     reduce_rank: bool = False
     rank_slack: int = 3
 
+    # Periodic exact-projection pulse: for full_eig_len iterations out of
+    # every full_eig_freq, force the dense-eigh projection regardless of
+    # the Lanczos/subspace gating (reference src/prox_operators.jl:49).
     full_eig_freq: int = 10_000_000
     full_eig_len: int = 0
 
@@ -202,6 +208,13 @@ class Options:
     # Relative Ritz-residual bound (vs the dominant eigenvalue) below which
     # a subspace projection is trusted unconditionally.
     subspace_tol: float = 1e-9
+    # Force a dense-eigh reseed of the subspace basis every this many
+    # iterations (0 = never).  Guards against a positive eigendirection
+    # that sits outside the warm basis and is therefore invisible to the
+    # Ritz-residual acceptance test; plays the role of the reference's
+    # full_eig_freq/full_eig_len periodic exact projections
+    # (src/prox_operators.jl:49).
+    subspace_reseed_freq: int = 256
     # Relative-inexactness acceptance: additionally trust a subspace
     # projection whose positive-pair Ritz residual is below
     # subspace_rel_accept * (current combined PPA residual), capped at

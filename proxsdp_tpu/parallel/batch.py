@@ -13,14 +13,18 @@ XLA inserts is the all-reduce behind ``jnp.any(active)`` once per chunk,
 riding ICI.  1024 max-cut instances on a pod slice = (1024 / n_devices)
 instances per chip, all MXU-batched eigh/matmuls.
 
-Limitations vs single-instance solve (documented, round 1):
-* one shared constraint operator M (c, b, h may vary per instance) — the
-  max-cut/MIMO sweep shape; per-instance M needs batched-dense M (TODO);
+Per-instance constraint matrices (round 2): instances may carry DIFFERENT
+A/G — the operator is then batched (stacked dense, or shared-sparsity
+ELLPACK with per-instance values) and vmapped alongside c/b/h, so batched
+randsdp/sensorloc/MIMO sweeps solve each instance against its OWN
+constraints.  When every instance shares one A/G (max-cut sweeps) the
+operator stays unbatched and is broadcast by vmap — no extra HBM.
+
+Limitations vs single-instance solve (documented):
 * under vmap, ``lax.cond`` becomes ``select`` (both branches execute), so
   the Lanczos-vs-eigh gating would run both: batch mode forces the dense
   eigh projection path, which on MXU is the right call for the small-to-
   medium blocks batching targets anyway;
-* no certificate search (statuses 5/6 are reported without ray search);
 * wall-clock time limit is per-chunk granular.
 """
 
@@ -63,12 +67,22 @@ def _force_batch_options(opts: Options) -> Options:
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_batch_runner_normalized(layout, opts: Options):
+def _cached_batch_runner_normalized(layout, opts: Options, m_kind: str):
+    from ..ops.linop import DenseOp, EllOp
+
     _, iteration, _ = make_chunk_runner(layout, opts)
 
-    # batch over state; share M/norms; batch b, h, c; share chunk_end
+    # batch over state; batch b, h, c; share chunk_end.  The operator M is
+    # shared (broadcast), batched-dense, or shared-pattern ELL with
+    # per-instance values, per m_kind.
+    if m_kind == "dense_batched":
+        m_axes = DenseOp(0)
+    elif m_kind == "ell_batched":
+        m_axes = EllOp(None, 0, None, 0)
+    else:
+        m_axes = None
     op_axes = Operands(
-        M=None, b=0, h=0, c=0, norm_b=0, norm_h=0, norm_c=0, chunk_end=None
+        M=m_axes, b=0, h=0, c=0, norm_b=0, norm_h=0, norm_c=0, chunk_end=None
     )
     viter = jax.vmap(iteration, in_axes=(0, op_axes))
 
@@ -108,10 +122,12 @@ def _cached_batch_runner_normalized(layout, opts: Options):
     return jax.jit(run_chunk, donate_argnums=(0,)), jax.jit(fetch)
 
 
-def _cached_batch_runner(layout, opts: Options):
+def _cached_batch_runner(layout, opts: Options, m_kind: str = "shared"):
     from ..solver import _runner_key_options
 
-    return _cached_batch_runner_normalized(layout, _runner_key_options(opts))
+    return _cached_batch_runner_normalized(
+        layout, _runner_key_options(opts), m_kind
+    )
 
 
 def _stack_states(states: Sequence[State]) -> State:
@@ -122,11 +138,68 @@ def _index_state(states: State, i: int) -> State:
     return jax.tree_util.tree_map(lambda x: np.asarray(x)[i], states)
 
 
-def _batch_operands(setups, dt, force_linop=None):
-    from ..ops.linop import build_linop
+def _same_constraints(s0, s1) -> bool:
+    """True iff s1 carries the exact same stacked [A; G] as s0."""
+    try:
+        import scipy.sparse as sp
+    except Exception:  # pragma: no cover
+        sp = None
+    for X, Y in ((s0.A, s1.A), (s0.G, s1.G)):
+        if sp is not None and (sp.issparse(X) or sp.issparse(Y)):
+            if not (sp.issparse(X) and sp.issparse(Y)):
+                return False
+            if X.shape != Y.shape:
+                return False
+            D = (sp.csr_matrix(X) - sp.csr_matrix(Y))
+            if D.nnz and np.abs(D.data).max() != 0.0:
+                return False
+        else:
+            if np.asarray(X).shape != np.asarray(Y).shape:
+                return False
+            if not np.array_equal(np.asarray(X), np.asarray(Y)):
+                return False
+    return True
 
-    M = build_linop(setups[0].A, setups[0].G, dt, force=force_linop)
-    return Operands(
+
+def _batch_operands(setups, dt, force_linop=None):
+    """Build the (possibly batched) device operands for the sweep.
+
+    Returns (Operands, m_kind).  m_kind selects the vmap in_axes for M:
+    "shared" (all instances have identical A/G — broadcast one operator),
+    "ell_batched" (same sparsity pattern, per-instance values), or
+    "dense_batched" (stacked dense (B, p+m, n) — MXU batched matmul).
+    """
+    from ..ops.linop import DenseOp, EllOp, build_linop
+
+    shared = all(_same_constraints(setups[0], s) for s in setups[1:])
+    if shared:
+        M = build_linop(setups[0].A, setups[0].G, dt, force=force_linop)
+        m_kind = "shared"
+    else:
+        ops0 = [build_linop(s.A, s.G, dt, force=force_linop) for s in setups]
+        if all(isinstance(o, EllOp) for o in ops0) and all(
+            o.row_cols.shape == ops0[0].row_cols.shape
+            and bool(jnp.all(o.row_cols == ops0[0].row_cols))
+            and bool(jnp.all(o.col_rows == ops0[0].col_rows))
+            for o in ops0[1:]
+        ):
+            M = EllOp(
+                ops0[0].row_cols,
+                jnp.stack([o.row_vals for o in ops0]),
+                ops0[0].col_rows,
+                jnp.stack([o.col_vals for o in ops0]),
+            )
+            m_kind = "ell_batched"
+        else:
+            dense = [
+                np.asarray(
+                    build_linop(s.A, s.G, dt, force="dense").mat
+                )
+                for s in setups
+            ]
+            M = DenseOp(jnp.asarray(np.stack(dense), dt))
+            m_kind = "dense_batched"
+    ops = Operands(
         M=M,
         b=jnp.asarray(np.stack([s.b for s in setups]), dt),
         h=jnp.asarray(np.stack([s.h for s in setups]), dt),
@@ -136,6 +209,7 @@ def _batch_operands(setups, dt, force_linop=None):
         norm_c=jnp.asarray(np.array([s.norm_c for s in setups]), dt),
         chunk_end=jnp.asarray(0, jnp.int32),
     )
+    return ops, m_kind
 
 
 def _cast_states_batch(states: State, dtype) -> State:
@@ -184,7 +258,7 @@ def solve_batch(
     phase_opts = opts.replace(dtype="float32") if hybrid else opts
     phase_dt = jnp.float32 if phase_opts.dtype == "float32" else jnp.float64
 
-    ops = _batch_operands(setups, phase_dt)
+    ops, m_kind = _batch_operands(setups, phase_dt)
     states = _stack_states([init_state(layout, phase_opts, s) for s in setups])
     tau0 = np.asarray(states.primal_step, np.float64).copy()
 
@@ -206,10 +280,13 @@ def solve_batch(
             norm_b=shard(ops.norm_b), norm_h=shard(ops.norm_h),
             norm_c=shard(ops.norm_c),
         )
+        if m_kind != "shared":
+            # batched operator: shard its per-instance leaves too
+            ops = ops._replace(M=jax.tree_util.tree_map(shard, ops.M))
         return states, ops
 
     states, ops = shard_tree(states, ops)
-    run_chunk, fetch = _cached_batch_runner(layout, phase_opts)
+    run_chunk, fetch = _cached_batch_runner(layout, phase_opts, m_kind)
     budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
     # on-device convergence logic -> large chunks are semantics-preserving
     chunk = opts.chunk_iters or (
@@ -296,9 +373,9 @@ def solve_batch(
                     badm, jnp.zeros_like(states.ada_count), states.ada_count
                 ),
             )
-        ops = _batch_operands(setups, jnp.float64)
+        ops, m_kind = _batch_operands(setups, jnp.float64)
         states, ops = shard_tree(states, ops)
-        run_chunk, fetch = _cached_batch_runner(layout, opts)
+        run_chunk, fetch = _cached_batch_runner(layout, opts, m_kind)
 
     # ---- final phase: run in the target dtype until every instance stops
     while True:

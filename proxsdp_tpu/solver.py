@@ -96,6 +96,11 @@ class State(NamedTuple):
     # certificate-search flags (host sets these between chunks)
     cert_mode: jax.Array  # bool
     cert_wait_until: jax.Array  # i32
+    # host veto of an optimality declaration (check_dual_feas): suppress
+    # re-declaring optimal until this iteration, so chunks keep amortizing
+    # instead of degrading to one host dual_feas eigh per iteration
+    # (cadence mirrors the reference's check_dual_feas_freq)
+    opt_block_until: jax.Array  # i32
 
 
 def _nblocks(layout: ConeLayout) -> int:
@@ -153,29 +158,34 @@ def init_state(
         else z(n)
     )
 
+    cold = warm is None
     rng = np.random.RandomState(opts.eigsolver_resid_seed)
-    warm = []
+    warm_vecs = []
     for side in layout.sdp_sides:
         k_sub = int(min(opts.subspace_rank, side))
         if k_sub > 0 and k_sub < side // 2:
             # subspace-projection mode: orthonormal (side, k) start basis
             V = rng.randn(side, k_sub)
             Q, _ = np.linalg.qr(V)
-            warm.append(Q.astype(dtype))
+            warm_vecs.append(Q.astype(dtype))
         else:
             v = rng.randn(side)
             v /= max(np.linalg.norm(v), 1e-12)
-            warm.append(v.astype(dtype))
+            warm_vecs.append(v.astype(dtype))
     if not layout.sdp_sides:
-        warm.append(z(1))
+        warm_vecs.append(z(1))
 
+    # cold start: x_old / Mx_old stay ZERO like the reference's PrimalDual
+    # (pdhg.jl:138-142 — advanced initialization sets x only); warm start
+    # seeds the old iterates with the supplied point so the first
+    # extrapolation is a fixed point of the warm solution.
     return State(
         x=x0,
-        x_old=x0.copy() if warm is not None else z(n),
+        x_old=z(n) if cold else x0.copy(),
         y=y0,
         y_old=y0.copy(),
         Mx=Mx0,
-        Mx_old=Mx0.copy() if warm is not None else z(pm),
+        Mx_old=z(pm) if cold else Mx0.copy(),
         Mty=Mty0,
         Mty_old=Mty0.copy(),
         primal_step=dtype(step),
@@ -202,9 +212,10 @@ def init_state(
         equa_feas=dtype(0.0),
         ineq_feas=dtype(0.0),
         max_soc_gap=dtype(-np.inf),
-        warm=tuple(warm),
+        warm=tuple(warm_vecs),
         cert_mode=np.bool_(False),
         cert_wait_until=np.int32(0),
+        opt_block_until=np.int32(0),
     )
 
 
@@ -254,6 +265,22 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
             opts.subspace_rel_accept * comb_prev, opts.subspace_accept_cap
         )
 
+    # periodic forced dense-eigh pulse: reference full_eig_freq/full_eig_len
+    # (prox_operators.jl:49) + the subspace-mode reseed (ADVICE r1: an
+    # accepted subspace can hide a positive direction outside the basis)
+    force_full = None
+    if layout.sdp_sides:
+        pulses = []
+        if 0 < opts.full_eig_freq and opts.full_eig_len > 0:
+            pulses.append((s.iter % opts.full_eig_freq) < opts.full_eig_len)
+        if opts.subspace_rank > 0 and opts.subspace_reseed_freq > 0:
+            pulses.append(
+                (s.iter % opts.subspace_reseed_freq)
+                == (opts.subspace_reseed_freq - 1)
+            )
+        for p in pulses:
+            force_full = p if force_full is None else (force_full | p)
+
     for bi, (off, side) in enumerate(zip(layout.sdp_offsets, layout.sdp_sides)):
         tl = sympackedlen(side)
         res = psd_projection_block(
@@ -264,6 +291,7 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
             opt=opts,
             allow_lanczos=True,
             accept_tol=accept_tol,
+            force_full=force_full,
         )
         x = jax.lax.dynamic_update_slice(x, res.block, (off,))
         min_eig = min_eig.at[bi].set(res.min_eig.astype(min_eig.dtype))
@@ -488,7 +516,11 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
     conv = (gap_k <= opts.tol_gap) & (feas_k <= opts.tol_feasibility)
     opt_ok = conv & rank_conv & soc_conv & (k > opts.min_iter)
 
-    status = jnp.where(active & opt_ok & (s.status == 0), 1, s.status)
+    status = jnp.where(
+        active & opt_ok & (s.status == 0) & (k >= s.opt_block_until),
+        1,
+        s.status,
+    )
 
     # --- branch 1b: converged gap/feas but rank not settled -> bump ranks
     b1 = active & conv & ~opt_ok & (rank_update > w)
@@ -655,6 +687,8 @@ _DRIVER_ONLY_DEFAULTS = dict(
     checkpoint_freq=0,
     polish_subspace=True,
     polish_subspace_guard=8,
+    check_dual_feas=False,
+    check_dual_feas_freq=1000,
 )
 
 
@@ -1140,7 +1174,15 @@ def solve(
                     y_now = equil.E * y_now
                 dfeas = _dual_feas_host(y_now, setup, setup.c_orig)
                 if dfeas >= opts.tol_feasibility_dual:
-                    state = state._replace(status=jnp.asarray(0, jnp.int32))
+                    # veto + suppress re-declaration for a window so chunks
+                    # keep amortizing (reference evaluates dual_feas every
+                    # check_dual_feas_freq iterations, pdhg.jl:248-249)
+                    state = state._replace(
+                        status=jnp.asarray(0, jnp.int32),
+                        opt_block_until=jnp.asarray(
+                            k + max(opts.check_dual_feas_freq, 1), jnp.int32
+                        ),
+                    )
                     continue
             final_status = 1
             break

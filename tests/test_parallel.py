@@ -93,3 +93,41 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestBatchPerInstanceM:
+    """Round-2: instances with DIFFERENT constraint matrices (per-instance
+    batched operator) — the round-1 driver silently solved everything
+    against instance 0's A/G (ADVICE r1, medium)."""
+
+    def test_batched_randsdp_matches_serial(self):
+        from proxsdp_tpu.models.randsdp import randsdp_problem
+
+        probs = [randsdp_problem(s, 5, 4, varbounds=False)[0] for s in range(4)]
+        o = px.Options(hybrid_precision=False, use_lanczos=False,
+                       certificate_search=False)
+        res_b = solve_batch(probs, o)
+        for i, p in enumerate(probs):
+            single = solve(p, o)
+            assert res_b[i].status == 1
+            rel = abs(res_b[i].objval - single.objval) / (1.0 + abs(single.objval))
+            assert rel < 1e-4, (i, res_b[i].objval, single.objval)
+
+    def test_m_kind_detection(self):
+        from proxsdp_tpu.parallel.batch import _batch_operands
+        from proxsdp_tpu.problem import preprocess
+        from proxsdp_tpu.models.maxcut import maxcut_problem, random_graph_weights
+        from proxsdp_tpu.models.randsdp import randsdp_problem
+        import jax.numpy as jnp
+
+        # max-cut sweep: same A (diag constraints), different c -> shared
+        setups = [preprocess(maxcut_problem(random_graph_weights(s, 8))[0])
+                  for s in range(3)]
+        _, kind = _batch_operands(setups, jnp.float64)
+        assert kind == "shared"
+
+        # randsdp sweep: different A -> batched operator
+        setups = [preprocess(randsdp_problem(s, 4, 3, varbounds=False)[0])
+                  for s in range(3)]
+        _, kind = _batch_operands(setups, jnp.float64)
+        assert kind in ("dense_batched", "ell_batched")

@@ -309,3 +309,33 @@ class TestOptions:
         res = opt.optimize()
         assert res.status == 1
         assert abs(res.objval - 18.0) < 5e-2
+
+
+class TestInitState:
+    def test_cold_start_matches_reference_iterate0(self):
+        """Cold start: x = tau*c (advanced initialization) but x_old and
+        Mx_old stay ZERO, exactly like the reference's fresh PrimalDual
+        (pdhg.jl:138-142 sets only x; x_old is the zeros it was
+        constructed with).  Round-1 regression: a shadowed variable made
+        every cold start take the warm branch (x_old = x0)."""
+        from proxsdp_tpu.problem import preprocess
+        from proxsdp_tpu.solver import init_state
+
+        opt, _ = build_maxcut_opt()
+        problem = opt.build_problem()
+        setup = preprocess(problem)
+        st = init_state(setup.layout, px.Options(), setup)
+
+        tau = float(st.primal_step)
+        np.testing.assert_allclose(
+            np.asarray(st.x), tau * setup.c, rtol=1e-12
+        )
+        assert np.all(np.asarray(st.x_old) == 0.0)
+        assert np.all(np.asarray(st.Mx_old) == 0.0)
+        assert np.all(np.asarray(st.Mty) == 0.0)
+        # warm start still seeds the old iterates with the given point
+        x0 = np.asarray(st.x)
+        y0 = np.zeros(setup.layout.p + setup.layout.m)
+        stw = init_state(setup.layout, px.Options(), setup, warm=(x0, y0))
+        np.testing.assert_allclose(np.asarray(stw.x_old), x0, rtol=1e-12)
+        assert np.any(np.asarray(stw.Mx_old) != 0.0)

@@ -44,6 +44,7 @@ from .problem import ConeLayout, ConicProblem, preprocess  # noqa: E402
 from .result import Result, STATUS_STRINGS, TERMINATION_STATUS  # noqa: E402
 from .solver import solve  # noqa: E402
 from .api import Optimizer, solve_sdp  # noqa: E402
+from .ingest import ConeDims, ConeSolution, solve_cone_program  # noqa: E402
 from .utils.vech import ivec, ivech, sympackedlen, vech  # noqa: E402
 
 __version__ = "0.1.0"
@@ -60,6 +61,9 @@ __all__ = [
     "solve",
     "solve_sdp",
     "Optimizer",
+    "ConeDims",
+    "ConeSolution",
+    "solve_cone_program",
     "ivec",
     "ivech",
     "vech",

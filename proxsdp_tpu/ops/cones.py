@@ -152,16 +152,25 @@ def psd_projection_block(
             Vk = V[:, -k_sub:][:, ::-1].astype(dtype)  # top-k, descending
             return Xp, me, cur, Vk
 
+        # mixed-precision basis: in f64 programs, build the orthonormal
+        # basis with f32 MXU matmuls (emulated-f64 matmuls are ~20x
+        # slower); Ritz values / residuals / reconstruction stay f64.
+        # Rayleigh quotients are 2nd-order accurate in basis error, and
+        # the f64 acceptance residual sees the f32 basis error, so a bad
+        # basis is rejected like any other — semantics unchanged.
+        mixed = bool(opt.subspace_mixed) and dtype == jnp.float64
+        bdt = jnp.float32 if mixed else dtype
+
         def _cholqr2(Y):
             # CholeskyQR2: tall-skinny orthonormalization via two
             # Gram+Cholesky passes — matmul work only (no Householder
             # serialization on device)
             def one(Yc):
                 G = Yc.T @ Yc
-                jit_eps = jnp.asarray(1e-12, dtype) * (
+                jit_eps = jnp.asarray(1e-12 if not mixed else 1e-6, bdt) * (
                     jnp.trace(G) / k_sub + 1.0
                 )
-                R = jnp.linalg.cholesky(G + jit_eps * jnp.eye(k_sub, dtype=dtype))
+                R = jnp.linalg.cholesky(G + jit_eps * jnp.eye(k_sub, dtype=bdt))
                 Q = jax.scipy.linalg.solve_triangular(
                     R, Yc.T, lower=True
                 ).T
@@ -170,13 +179,21 @@ def psd_projection_block(
             return one(one(Y))
 
         def subspace_path(X):
-            Q = _cholqr2(X @ warm)
-            Z = X @ Q
-            B = Q.T @ Z
+            Xb = X.astype(bdt)
+            Q = _cholqr2(Xb @ warm.astype(bdt))
+            Zb = Xb @ Q
+            B = Q.T @ Zb
             B = 0.5 * (B + B.T)
-            theta, U = jnp.linalg.eigh(B)  # ascending, k x k (cheap)
-            W = Q @ U  # Ritz vectors
-            XW = Z @ U
+            if mixed:
+                _, U = jnp.linalg.eigh(B)  # f32 basis rotation (cheap)
+                W = (Q @ U).astype(dtype)  # Ritz basis, ~f32-accurate
+                XW = X @ W  # the one f64 (side,k) matmul
+                nrm2 = jnp.sum(W * W, axis=0)
+                theta = jnp.sum(W * XW, axis=0) / nrm2  # f64 Rayleigh
+            else:
+                theta, U = jnp.linalg.eigh(B)  # ascending, k x k (cheap)
+                W = Q @ U  # Ritz vectors
+                XW = Zb @ U
             rn = jnp.sqrt(jnp.sum((XW - W * theta[None, :]) ** 2, axis=0))
             pos = theta > 0.0
             scale = jnp.maximum(jnp.max(jnp.abs(theta)), 1.0)
@@ -187,7 +204,12 @@ def psd_projection_block(
             # arXiv:1810.05231) is RELATIVE inexactness: accept error
             # proportional to the current PPA residual (accept_tol, traced)
             # so projection error decays in lockstep with outer progress.
-            thresh = jnp.asarray(opt.subspace_tol, dtype)
+            thresh = jnp.asarray(
+                max(opt.subspace_tol, opt.subspace_mixed_tol)
+                if mixed
+                else opt.subspace_tol,
+                dtype,
+            )
             if accept_tol is not None:
                 thresh = jnp.maximum(thresh, accept_tol.astype(dtype))
             ok_resid = jnp.all(jnp.where(pos, rn <= thresh * scale, True))

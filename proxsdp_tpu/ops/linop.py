@@ -186,11 +186,11 @@ def build_linop(A, G, dtype, force: str | None = None, dense_limit: int = 1 << 2
 
     Auto policy: very sparse matrices use the gather-based ELLPACK form
     (the TPU-native shape for SDP constraint matrices); otherwise dense.
-    EXCEPT in f64: on the current TPU runtime, gather-heavy f64 programs
-    inside lax.while_loop crash the worker (kernel fault, reproduced on
-    COO and ELL, dense is stable), so f64 programs use the dense operator
-    whenever it fits — in the hybrid-precision design f64 only runs the
-    short polish phase, so the emulated dense matvec cost is bounded.
+    Precision matters on TPU: f64 matmuls are software-emulated (a dense
+    250x31k matvec pair costs ~9.8 ms vs ~1.2 ms for the ELL gather
+    form), so the f64 polish phase prefers ELL whenever the matrix is
+    sparse enough to build one; the f32 phase prefers dense (the MXU
+    matvec beats gathers at ~0.1 ms) unless the matrix doesn't fit HBM.
     """
     import jax as _jax
 
@@ -204,15 +204,14 @@ def build_linop(A, G, dtype, force: str | None = None, dense_limit: int = 1 << 2
     density = nnz / max(size, 1)
 
     on_tpu = _jax.default_backend() == "tpu"
+    is_f64 = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
     choice = force
     if choice is None:
         if on_tpu:
-            # f64: gather-heavy (ELL/COO) programs crash the current axon
-            # worker inside lax.while_loop; dense is stable and in the
-            # hybrid design f64 only runs the short polish phase.
-            # f32: a dense matvec on the MXU (0.1 ms at 250x31k) beats
-            # ELL gathers; use ELL only when dense doesn't fit HBM.
-            choice = "dense" if size <= (1 << 27) else "ell"
+            if is_f64 and density < 0.02 and size > (1 << 16):
+                choice = "ell"
+            else:
+                choice = "dense" if size <= (1 << 27) else "ell"
         elif density < 0.02 and size > (1 << 16):
             choice = "ell"
         else:

@@ -172,6 +172,10 @@ class Options:
     chunk_iters: int = 0  # 0 = auto (max(convergence_check, 50))
     # Power-iteration steps used when approx_norm=False.
     power_iters: int = 50
+    # Device operator form for M = [A; G]: "auto" picks per the policy in
+    # ops/linop.py; "dense" | "ell" | "coo" force one.  Static (affects
+    # the traced program).
+    linop: str = "auto"
     # Use the low-rank Lanczos path when eligible (mirrors the reference's
     # krylov gating); set False to force dense eigh everywhere.
     use_lanczos: bool = True
@@ -223,11 +227,35 @@ class Options:
     # principle, arXiv:1810.05231). 0 disables.
     subspace_rel_accept: float = 0.1
     subspace_accept_cap: float = 1e-3
+    # Mixed-precision subspace projection (f64 programs only): build the
+    # orthonormal basis (CholeskyQR2 + small eigh) in f32 — MXU matmuls,
+    # ~20x faster than emulated f64 — then compute the Ritz values, the
+    # acceptance residuals and the rank-k reconstruction in f64 on that
+    # basis.  Rayleigh quotients are second-order accurate in the basis
+    # error (f32 basis error ~1e-7 -> Ritz value error ~1e-14*scale), and
+    # the f64 acceptance residual SEES the basis error, so an inadequate
+    # f32 basis falls back to dense f64 eigh exactly like any other
+    # rejected subspace — accuracy semantics are unchanged.
+    subspace_mixed: bool = True
+    # Unconditional acceptance floor for the mixed projection: an f32
+    # basis cannot push the (f64-measured) Ritz residual below ~sqrt(side)
+    # * eps_f32 * scale even when it spans the exact invariant subspace,
+    # so the f64-mode subspace_tol (1e-9) would reject every step.  The
+    # projection error this admits is f32-class (~1e-6 relative) — the
+    # design point of mixed mode; min_eig / rank decisions stay f64.
+    subspace_mixed_tol: float = 4e-6
     # Let the hybrid driver use the subspace projection for the f64 polish
     # phase (effective when dtype="float64" and hybrid_precision).
     # (On the axon service the polish program's first compile is ~20 min —
     # the persistent compile cache makes repeat geometries instant.)
     polish_subspace: bool = True
+    # Also enter subspace mode during the f32 race phase: after
+    # race_subspace_warmup iterations of dense-eigh cold start the driver
+    # estimates the rank (host eigh), seeds an exact top-k basis and
+    # re-enters a subspace-mode f32 program (eigh is ~2.2 of the ~2.9
+    # ms/iter f32 cost at side 250; the subspace step is ~0.35 ms).
+    race_subspace: bool = True
+    race_subspace_warmup: int = 100
     # Guard width added to the observed rank when the driver sizes the
     # polish subspace.
     polish_subspace_guard: int = 8

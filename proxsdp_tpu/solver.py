@@ -687,6 +687,9 @@ _DRIVER_ONLY_DEFAULTS = dict(
     checkpoint_freq=0,
     polish_subspace=True,
     polish_subspace_guard=8,
+    race_subspace=True,
+    race_subspace_warmup=100,
+    linop="auto",
     check_dual_feas=False,
     check_dual_feas_freq=1000,
 )
@@ -713,6 +716,48 @@ def _sub_bucket(k: int) -> int:
         if k <= b:
             return b
     return 0
+
+
+def _estimate_subspace(state: State, layout: ConeLayout, opts: Options):
+    """Host-side per-block eigh: RELATIVE-threshold rank estimate (the
+    device's current_rank counts every eigenvalue above the absolute
+    tol_psd — hugely inflated mid-convergence) and the exact top-k basis so
+    a subspace phase starts with zero fallback iterations.
+
+    Returns (k_bucket, r_obs, specs) with specs = [(side, V, r_blk)];
+    k_bucket == 0 means the observed rank is too large for subspace mode.
+    """
+    from .ops.tri import _maps as _tri_maps
+
+    x_host = np.asarray(state.x, np.float64)
+    specs = []
+    for off, side in zip(layout.sdp_offsets, layout.sdp_sides):
+        tl = sympackedlen(side)
+        gidx, in_scale, _, _ = _tri_maps(side)
+        Xm = (x_host[off : off + tl][gidx] * in_scale).reshape(side, side)
+        w, V = np.linalg.eigh(Xm)
+        lam_max = max(float(w[-1]), 0.0)
+        r_blk = int(np.sum(w > max(opts.tol_psd, 1e-4 * max(lam_max, 1e-12))))
+        specs.append((side, V, r_blk))
+    r_obs = max(r for _, _, r in specs)
+    k = _sub_bucket(r_obs + opts.polish_subspace_guard)
+    if not (k and any(k < side // 2 for side in layout.sdp_sides)):
+        return 0, r_obs, specs
+    return k, r_obs, specs
+
+
+def _seed_subspace_warm(state: State, specs, k: int, dtype) -> State:
+    """Replace the warm pytree leaves with exact top-k bases (from
+    _estimate_subspace) for blocks that run in subspace mode."""
+    new_warm = []
+    for bi, (side, V, _r) in enumerate(specs):
+        k_sub = int(min(k, side))
+        if 0 < k_sub < side // 2:
+            Vk = V[:, -k_sub:][:, ::-1].copy()
+            new_warm.append(jnp.asarray(Vk, dtype))
+        else:
+            new_warm.append(jnp.asarray(state.warm[bi], dtype))
+    return state._replace(warm=tuple(new_warm))
 
 
 def _cast_state(s: State, dtype) -> State:
@@ -847,8 +892,9 @@ def solve(
         equil = equilibrate_host(setup, opts)
 
     def make_operands(dt):
+        force = None if opts.linop == "auto" else opts.linop
         return Operands(
-            M=build_linop(setup.A, setup.G, dt),
+            M=build_linop(setup.A, setup.G, dt, force=force),
             b=jnp.asarray(setup.b, dt),
             h=jnp.asarray(setup.h, dt),
             c=jnp.asarray(setup.c, dt),
@@ -894,12 +940,25 @@ def solve(
         state = init_state(layout, opts, setup, warm=warm)
         phase32 = False
 
+    sub32 = {"entered": False}  # f32 race phase already in subspace mode?
+
     if resume_from:
         from .utils.checkpoint import load_checkpoint
 
         state, saved_phase32 = load_checkpoint(resume_from)
         if hybrid and saved_phase32:
             phase32 = True
+            if (
+                layout.sdp_sides
+                and np.asarray(state.warm[0]).ndim == 2
+                and opts.subspace_rank == 0
+            ):
+                # checkpoint was taken in the f32 subspace race phase
+                k_saved = int(np.asarray(state.warm[0]).shape[1])
+                run_chunk32, _, fetch32 = _cached_runner(
+                    layout, opts32.replace(subspace_rank=k_saved)
+                )
+                sub32["entered"] = True
         else:
             phase32 = False
             if jnp.asarray(state.x).dtype != dtype:
@@ -1065,60 +1124,46 @@ def solve(
                 # f64 polish program: persistent-subspace projection sized
                 # from the rank the f32 phase observed (bucketed to bound
                 # the number of compiled variants)
+                entered_polish = False
                 if (
                     opts.polish_subspace
                     and opts.subspace_rank == 0
                     and layout.sdp_sides
                 ):
-                    # one host-side eigh per block: a RELATIVE-threshold
-                    # rank estimate (the device's current_rank counts every
-                    # eigenvalue above the absolute tol_psd — hugely
-                    # inflated mid-convergence) and an exact top-k basis so
-                    # the polish phase starts with zero fallback iterations
-                    from .ops.tri import _maps as _tri_maps
-
-                    x_host = np.asarray(state.x, np.float64)
-                    specs = []
-                    for off, side in zip(
-                        layout.sdp_offsets, layout.sdp_sides
-                    ):
-                        tl = sympackedlen(side)
-                        gidx, in_scale, _, _ = _tri_maps(side)
-                        Xm = (
-                            x_host[off : off + tl][gidx] * in_scale
-                        ).reshape(side, side)
-                        w, V = np.linalg.eigh(Xm)
-                        lam_max = max(float(w[-1]), 0.0)
-                        r_blk = int(
-                            np.sum(
-                                w
-                                > max(opts.tol_psd, 1e-4 * max(lam_max, 1e-12))
-                            )
-                        )
-                        specs.append((side, V, r_blk))
-                    r_obs = max(r for _, _, r in specs)
-                    k = _sub_bucket(r_obs + opts.polish_subspace_guard)
-                    if k and any(k < side // 2 for side in layout.sdp_sides):
-                        opts_polish = opts.replace(subspace_rank=k)
+                    k_sub, r_obs, specs = _estimate_subspace(
+                        state, layout, opts
+                    )
+                    if k_sub:
+                        opts_polish = opts.replace(subspace_rank=k_sub)
                         run_chunk, _, fetch = _cached_runner(
                             layout, opts_polish
                         )
-                        new_warm = []
-                        for bi, (side, V, _r) in enumerate(specs):
-                            k_sub = int(min(k, side))
-                            if k_sub > 0 and k_sub < side // 2:
-                                Vk = V[:, -k_sub:][:, ::-1].copy()
-                                new_warm.append(jnp.asarray(Vk, jnp.float64))
-                            else:
-                                new_warm.append(
-                                    jnp.asarray(state.warm[bi], jnp.float64)
-                                )
-                        state = state._replace(warm=tuple(new_warm))
+                        state = _seed_subspace_warm(
+                            state, specs, k_sub, jnp.float64
+                        )
+                        entered_polish = True
                         if opts.log_verbose:
                             print(
-                                f"  [hybrid] f64 polish: subspace rank {k} "
-                                f"(observed {r_obs})"
+                                f"  [hybrid] f64 polish: subspace rank "
+                                f"{k_sub} (observed {r_obs})"
                             )
+                if (
+                    not entered_polish
+                    and layout.sdp_sides
+                    and opts.subspace_rank == 0
+                    and np.asarray(state.warm[0]).ndim == 2
+                ):
+                    # the f32 race ran in subspace mode but the f64 program
+                    # will not: collapse each warm basis to its dominant
+                    # column (the Lanczos start vector shape)
+                    state = state._replace(
+                        warm=tuple(
+                            jnp.asarray(np.asarray(w)[:, 0], jnp.float64)
+                            if np.asarray(w).ndim == 2
+                            else w
+                            for w in state.warm
+                        )
+                    )
                 if stalled:
                     # the f32 phase wedged its adaptive step machinery
                     # (beta blow-up): restart steps at the f64 hand-over,
@@ -1134,6 +1179,31 @@ def solve(
                         ada_count=jnp.asarray(0, jnp.int32),
                     )
                 phase32 = False
+            elif (
+                opts.race_subspace
+                and not sub32["entered"]
+                and opts.subspace_rank == 0
+                and layout.sdp_sides
+                and k >= opts.race_subspace_warmup
+            ):
+                # f32 race phase: once past the eigh cold start, size a
+                # subspace program from the observed rank and seed it with
+                # the exact top-k basis (eigh dominates the f32 iteration
+                # cost; the subspace step is all-matmul)
+                sub32["entered"] = True
+                k_sub, r_obs, specs = _estimate_subspace(state, layout, opts)
+                if k_sub:
+                    run_chunk32, _, fetch32 = _cached_runner(
+                        layout, opts32.replace(subspace_rank=k_sub)
+                    )
+                    state = _seed_subspace_warm(
+                        state, specs, k_sub, jnp.float32
+                    )
+                    if opts.log_verbose:
+                        print(
+                            f"  [hybrid] f32 race: subspace rank {k_sub} "
+                            f"(observed {r_obs})"
+                        )
             continue
 
         in_cert = cert_ctx["mode"] != 0

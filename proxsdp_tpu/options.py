@@ -118,7 +118,10 @@ class Options:
     arpack_max_iter: int = 10_000
 
     # KrylovKit-era knobs (krylovkit_tol reused as the Lanczos residual
-    # convergence tolerance on TPU)
+    # convergence tolerance on TPU; krylovkit_max_iter — the KrylovKit
+    # restart cap, eigsolver.jl:807 — is inert here because the static-shape
+    # Lanczos is single-pass by design: non-convergence falls back to eigh
+    # instead of restarting)
     krylovkit_reset_resid: bool = False
     krylovkit_resid_init: int = 3
     krylovkit_tol: float = 1e-12

@@ -1066,7 +1066,13 @@ def solve(
         elapsed = time.time() - t0
 
         if opts.log_verbose and k >= log_next:
-            _log_progress(sc, state, elapsed)
+            dfeas = None
+            if opts.extended_log2:
+                y_log = np.asarray(state.y, np.float64)
+                if equil is not None:
+                    y_log = equil.E * y_log
+                dfeas = _dual_feas_host(y_log, setup, setup.c_orig)
+            _log_progress(sc, elapsed, opts, dfeas)
             log_next += opts.log_freq
 
         if (
@@ -1287,6 +1293,11 @@ def solve(
                 continue
             final_status = lim_status
             status_string = lim_string
+            if opts.warn_on_limit and lim_status in (2, 3):
+                # reference pdhg.jl:369-376
+                print("    WARNING: "
+                      + ("Iteration" if lim_status == 3 else "Time")
+                      + " limit hit.")
             break
 
         if in_cert and (k >= budget.hard_cap or elapsed >= budget.time_limit):
@@ -1531,13 +1542,37 @@ def _print_header(layout: ConeLayout, opts: Options):
     print(bar)
 
 
-def _log_progress(sc, state, elapsed):
-    print(
+def _progress_columns(opts: Options) -> str:
+    """Column header for the progress table (reference printing.jl:69-93)."""
+    cols = ("    iter        prim obj   rel. gap    feasb.  prim res  "
+            "dual res  rank   time(s)")
+    if opts.extended_log or opts.extended_log2:
+        cols += "    dual obj"
+    if opts.extended_log2:
+        cols += "   d feasb."
+    return cols
+
+
+def _log_progress(sc, elapsed, opts: Options, dfeas=None):
+    """One progress-table row (reference print_progress, printing.jl:96-150).
+
+    extended_log adds the dual objective column; extended_log2 additionally
+    adds a dual-feasibility column (computed host-side at each log, like the
+    reference's per-log dual_feas evaluation, pdhg.jl:167 + printing.jl:138).
+    """
+    if opts.log_repeat_header:
+        print(_progress_columns(opts))
+    row = (
         f"  iter={sc['iter']:>8d}  obj={sc['prim_obj']:+.6e}  "
         f"gap={sc['gap']:.2e}  feas={sc['feas']:.2e}  "
         f"pres={sc['pres']:.2e}  dres={sc['dres']:.2e}  "
         f"rank={sc['sum_target_rank']}  t={elapsed:.1f}s"
     )
+    if opts.extended_log or opts.extended_log2:
+        row += f"  dobj={sc['dual_obj']:+.6e}"
+    if opts.extended_log2:
+        row += f"  dfeas={float('nan') if dfeas is None else dfeas:.2e}"
+    print(row)
 
 
 def _log_final(res: Result):

@@ -310,6 +310,22 @@ class TestOptions:
         assert res.status == 1
         assert abs(res.objval - 18.0) < 5e-2
 
+    def test_print_options_exercise(self, capsys):
+        """Extended logging columns + repeat header + limit warning
+        (reference print-options smoke, moi_proxsdp_unit.jl:350-356;
+        printing.jl:69-150, pdhg.jl:369-376)."""
+        opt, _ = build_maxcut_opt(
+            log_verbose=True, log_freq=16, chunk_iters=16,
+            extended_log2=True, log_repeat_header=True, warn_on_limit=True,
+            max_iter=48, tol_gap=1e-14, tol_feasibility=1e-14,
+        )
+        res = opt.optimize()
+        out = capsys.readouterr().out
+        assert res.status == 3
+        assert "dobj=" in out and "dfeas=" in out
+        assert out.count("d feasb.") >= 2  # repeated header
+        assert "WARNING: Iteration limit hit." in out
+
 
 class TestInitState:
     def test_cold_start_matches_reference_iterate0(self):

@@ -61,6 +61,7 @@ class PsdProjResult(NamedTuple):
     min_eig: jax.Array  # smallest eigenvalue "seen" (reference semantics)
     current_rank: jax.Array  # int32 rank used
     warm: jax.Array  # warm-start vector for the next iteration's Lanczos
+    used_full: jax.Array  # bool: dense eigh ran (gated or fallback/reseed)
 
 
 def psd_projection_block(
@@ -95,6 +96,7 @@ def psd_projection_block(
             min_eig=proj,
             current_rank=(proj > 0).astype(jnp.int32),
             warm=warm,
+            used_full=jnp.asarray(False),
         )
 
     X = tri_to_square(v_block, side)
@@ -233,14 +235,17 @@ def psd_projection_block(
                 me = jnp.min(theta).astype(dtype)
                 cur = jnp.sum(theta > opt.tol_psd).astype(jnp.int32)
                 # new warm basis: Ritz vectors, dominant first
-                return Xp, me, cur, W[:, ::-1]
+                return Xp, me, cur, W[:, ::-1], jnp.asarray(False)
 
             return jax.lax.cond(
-                conv_ok, reconstruct, lambda _: full_path_sub(X), operand=None
+                conv_ok,
+                reconstruct,
+                lambda _: full_path_sub(X) + (jnp.asarray(True),),
+                operand=None,
             )
 
-        Xp, me, cur, wv = subspace_path(X)
-        return PsdProjResult(square_to_tri(Xp, side), me, cur, wv)
+        Xp, me, cur, wv, uf = subspace_path(X)
+        return PsdProjResult(square_to_tri(Xp, side), me, cur, wv, uf)
 
     use_lz = (
         allow_lanczos
@@ -251,7 +256,9 @@ def psd_projection_block(
     )
     if not use_lz:
         Xp, me, cur, wv = full_path(X)
-        return PsdProjResult(square_to_tri(Xp, side), me, cur, wv)
+        return PsdProjResult(
+            square_to_tri(Xp, side), me, cur, wv, jnp.asarray(True)
+        )
 
     ncv = min(max(2 * opt.max_target_rank_krylov_eigs + 1, opt.eigsolver_min_lanczos), side)
 
@@ -270,10 +277,10 @@ def psd_projection_block(
             # min over the target_rank leading Ritz values
             me = jnp.min(jnp.where(k_mask, out.vals, jnp.inf))
             cur = jnp.sum(pos_mask).astype(jnp.int32)
-            return Xp, me.astype(dtype), cur, out.vecs[:, 0]
+            return Xp, me.astype(dtype), cur, out.vecs[:, 0], jnp.asarray(False)
 
         def fallback(_):
-            return full_path(X)
+            return full_path(X) + (jnp.asarray(True),)
 
         return jax.lax.cond(conv_ok, reconstruct, fallback, operand=None)
 
@@ -282,5 +289,7 @@ def psd_projection_block(
     pred = target_rank <= opt.max_target_rank_krylov_eigs
     if force_full is not None:
         pred = pred & ~force_full
-    Xp, me, cur, wv = jax.lax.cond(pred, lanczos_path, full_path, X)
-    return PsdProjResult(square_to_tri(Xp, side), me, cur, wv)
+    Xp, me, cur, wv, uf = jax.lax.cond(
+        pred, lanczos_path, lambda X: full_path(X) + (jnp.asarray(True),), X
+    )
+    return PsdProjResult(square_to_tri(Xp, side), me, cur, wv, uf)

@@ -263,6 +263,19 @@ class Options:
     # polish subspace.
     polish_subspace_guard: int = 8
 
+    # Adaptive restart-to-average (TPU-native; no reference counterpart —
+    # upstream PDHG has no restarts).  PDLP-style: the loop maintains
+    # step-weighted running averages of (x, y, Mx, Mty); when the duality
+    # gap fails to shrink by restart_decay over restart_window iterations
+    # while still above tol_gap, the iterates are reset to the running
+    # average (Mx/Mty averages make this free of extra matvecs — the
+    # operator is linear) and the averages restart.  Targets PDHG's 1/k
+    # last-iterate tail on badly scaled instances (the gpp family stalls
+    # at gap ~1e-3 for tens of thousands of iterations without it).
+    restart: str = "none"  # "none" | "adaptive"
+    restart_window: int = 500
+    restart_decay: float = 0.8
+
     # Checkpoint/resume (no reference counterpart — SURVEY.md §5 lists
     # checkpointing as absent upstream).  When checkpoint_path is set, the
     # full solver state is written there atomically every
@@ -274,6 +287,8 @@ class Options:
     def __post_init__(self):
         if self.dtype not in ("float64", "float32"):
             raise ValueError(f"dtype must be float64|float32, got {self.dtype}")
+        if self.restart not in ("none", "adaptive"):
+            raise ValueError(f"restart must be none|adaptive, got {self.restart}")
 
     def replace(self, **kw) -> "Options":
         return dataclasses.replace(self, **kw)

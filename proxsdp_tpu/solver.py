@@ -101,6 +101,21 @@ class State(NamedTuple):
     # instead of degrading to one host dual_feas eigh per iteration
     # (cadence mirrors the reference's check_dual_feas_freq)
     opt_block_until: jax.Array  # i32
+    # adaptive restart-to-average (restart="adaptive"): step-weighted
+    # running sums of the iterates and their operator images (averaging
+    # Mx/Mty is exact — M is linear — so a restart costs no matvec).
+    # Zero-length arrays when the feature is off.
+    avg_x: jax.Array
+    avg_y: jax.Array
+    avg_Mx: jax.Array
+    avg_Mty: jax.Array
+    avg_w: jax.Array
+    last_restart_iter: jax.Array  # i32
+    last_restart_gap: jax.Array
+    # observability: count of iterations whose PSD projection ran the
+    # dense eigh (gated, rejected-subspace fallback, or forced reseed) —
+    # the subspace/Lanczos acceptance rate is 1 - proj_fallbacks/iter
+    proj_fallbacks: jax.Array  # i32
 
 
 def _nblocks(layout: ConeLayout) -> int:
@@ -216,6 +231,14 @@ def init_state(
         cert_mode=np.bool_(False),
         cert_wait_until=np.int32(0),
         opt_block_until=np.int32(0),
+        avg_x=z(n) if opts.restart == "adaptive" else z(0),
+        avg_y=z(pm) if opts.restart == "adaptive" else z(0),
+        avg_Mx=z(pm) if opts.restart == "adaptive" else z(0),
+        avg_Mty=z(n) if opts.restart == "adaptive" else z(0),
+        avg_w=dtype(0.0),
+        last_restart_iter=np.int32(0),
+        last_restart_gap=dtype(np.inf),
+        proj_fallbacks=np.int32(0),
     )
 
 
@@ -281,6 +304,7 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
         for p in pulses:
             force_full = p if force_full is None else (force_full | p)
 
+    any_full = None
     for bi, (off, side) in enumerate(zip(layout.sdp_offsets, layout.sdp_sides)):
         tl = sympackedlen(side)
         res = psd_projection_block(
@@ -297,6 +321,7 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
         min_eig = min_eig.at[bi].set(res.min_eig.astype(min_eig.dtype))
         current_rank = current_rank.at[bi].set(res.current_rank)
         warm[bi] = res.warm
+        any_full = res.used_full if any_full is None else (any_full | res.used_full)
 
     for off, ln in zip(layout.soc_offsets, layout.soc_lens):
         blk = jax.lax.dynamic_slice(x, (off,), (ln,))
@@ -313,6 +338,8 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
         current_rank=current_rank,
         warm=tuple(warm),
         max_soc_gap=max_soc_gap,
+        proj_fallbacks=s.proj_fallbacks
+        + (any_full.astype(jnp.int32) if any_full is not None else 0),
     )
 
 
@@ -595,6 +622,84 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
     status = jnp.where(det & (status == 0) & c_inf3, 6, status)
     status = jnp.where(det & (status == 0) & c_unb2, 5, status)
 
+    # --- adaptive restart-to-average (PDLP-style; TPU-native extension,
+    # no reference counterpart).  Every restart_window iterations the gap
+    # is compared against the last epoch: if it failed to shrink by
+    # restart_decay while still above tolerance, the iterates jump to the
+    # step-weighted running average (whose last-iterate 1/k tail is the
+    # thing being cut) and the averages reset.  All branch-free.
+    restart_updates = {}
+    if opts.restart == "adaptive":
+        p_, m_ = layout.p, layout.m
+        ps = s.primal_step.astype(s.x.dtype)
+        avg_x = s.avg_x + ps * s.x
+        avg_y = s.avg_y + ps * s.y
+        avg_Mx = s.avg_Mx + ps * s.Mx
+        avg_Mty = s.avg_Mty + ps * s.Mty
+        avg_w = s.avg_w + ps
+        epoch = (
+            active
+            & (status == 0)
+            & ~s.cert_mode
+            & ((k - s.last_restart_iter) >= opts.restart_window)
+        )
+        stalled = (
+            epoch
+            & (gap_k > opts.tol_gap)
+            & (gap_k > opts.restart_decay * s.last_restart_gap)
+            & jnp.isfinite(gap_k)
+        )
+        wsum = jnp.maximum(avg_w, jnp.asarray(1e-30, avg_w.dtype))
+        # candidate quality: gap + feasibility of the AVERAGE, computed
+        # from the carried operator images (no matvec).  The jump happens
+        # only when the average measurably beats the current iterate —
+        # a bad average is never adopted (PDLP's candidate-selection
+        # principle), which prevents restart cascades.
+        xa_ = avg_x / wsum
+        ya_ = avg_y / wsum
+        Mxa_ = avg_Mx / wsum
+        po_a = jnp.dot(o.c, xa_)
+        do_a = jnp.asarray(0.0, po_a.dtype)
+        if p_:
+            do_a = do_a - jnp.dot(o.b, ya_[:p_])
+        if m_:
+            do_a = do_a - jnp.dot(o.h, ya_[p_:])
+        gap_a = jnp.abs(po_a - do_a) / (1.0 + jnp.abs(po_a) + jnp.abs(do_a))
+        feas_a = jnp.asarray(0.0, gap_a.dtype)
+        if p_:
+            feas_a = jnp.maximum(
+                feas_a, _norm_inf(Mxa_[:p_] - o.b) / (1.0 + o.norm_b)
+            )
+        if m_:
+            feas_a = jnp.maximum(
+                feas_a, jnp.max(Mxa_[p_:] - o.h) / (1.0 + o.norm_h)
+            )
+        metric_now = jnp.maximum(gap_k, feas_k)
+        metric_avg = jnp.maximum(gap_a, feas_a)
+        stalled = stalled & (metric_avg < 0.9 * metric_now)
+
+        def mix(avg, cur):
+            return jnp.where(stalled, avg, cur)
+
+        xa = mix(xa_, s.x)
+        ya = mix(ya_, s.y)
+        Mxa = mix(Mxa_, s.Mx)
+        Mtya = mix(avg_Mty / wsum, s.Mty)
+        keep = jnp.where(stalled, 0.0, 1.0).astype(avg_w.dtype)
+        restart_updates = dict(
+            x=xa, x_old=xa, y=ya, y_old=ya,
+            Mx=Mxa, Mx_old=Mxa, Mty=Mtya, Mty_old=Mtya,
+            avg_x=avg_x * keep, avg_y=avg_y * keep,
+            avg_Mx=avg_Mx * keep, avg_Mty=avg_Mty * keep,
+            avg_w=avg_w * keep,
+            last_restart_iter=jnp.where(
+                epoch, k, s.last_restart_iter
+            ).astype(jnp.int32),
+            last_restart_gap=jnp.where(
+                epoch, gap_k, s.last_restart_gap
+            ).astype(s.last_restart_gap.dtype),
+        )
+
     return s._replace(
         status=status,
         rank_update=rank_update,
@@ -606,6 +711,7 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
         dual_step=dual_step,
         adapt_level=adapt_level,
         iter=k,
+        **restart_updates,
     )
 
 
@@ -651,6 +757,7 @@ def make_chunk_runner(layout: ConeLayout, opts: Options):
                 s.buf_dres[i],
                 s.buf_comb[i],
                 jnp.sum(s.target_rank).astype(ft),
+                s.proj_fallbacks.astype(ft),
             ]
         )
 
@@ -1027,6 +1134,7 @@ def solve(
             "dres": float(v[7]),
             "comb": float(v[8]),
             "sum_target_rank": int(v[9]),
+            "proj_fallbacks": int(v[10]),
         }
 
     final_status = None
@@ -1344,7 +1452,9 @@ def solve(
         except Exception:
             pass
     if opts.timer_verbose or opts.timer_file:
-        report = _timer_report(timers, chunk_counts, res)
+        report = _timer_report(
+            timers, chunk_counts, res, int(np.asarray(state.proj_fallbacks))
+        )
         if opts.timer_verbose:
             print(report)
         if opts.timer_file:
@@ -1356,7 +1466,7 @@ def solve(
     return res
 
 
-def _timer_report(timers, chunk_counts, res) -> str:
+def _timer_report(timers, chunk_counts, res, proj_fallbacks: int = -1) -> str:
     """Phase-timing report (reference: TimerOutputs print, MOI_wrapper.jl:317-330)."""
     total = sum(timers.values())
     lines = [
@@ -1372,7 +1482,11 @@ def _timer_report(timers, chunk_counts, res) -> str:
             extra = f"  {chunk_counts['f64']}"
         lines.append(f"  {name:<12} {v:>10.3f} {v / max(total, 1e-9):>7.1%}{extra}")
     lines.append("-" * 58)
-    lines.append(f"  total {total:.3f}s  iters={res.iter}")
+    tail = f"  total {total:.3f}s  iters={res.iter}"
+    if proj_fallbacks >= 0 and res.iter > 0:
+        tail += (f"  proj dense-eigh iters={proj_fallbacks}"
+                 f" ({proj_fallbacks / max(res.iter, 1):.1%})")
+    lines.append(tail)
     return "\n".join(lines)
 
 

@@ -310,6 +310,21 @@ class TestOptions:
         assert res.status == 1
         assert abs(res.objval - 18.0) < 5e-2
 
+    def test_adaptive_restart_mode(self):
+        """restart="adaptive" (PDLP-style restart-to-average; TPU-native
+        extension, no reference counterpart) converges to the same
+        answer with a short epoch so the restart logic actually fires."""
+        opt, _ = build_maxcut_opt(
+            restart="adaptive", restart_window=32, chunk_iters=32
+        )
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 18.0) < 5e-2
+
+    def test_restart_value_validated(self):
+        with pytest.raises(ValueError):
+            px.make_options(restart="bogus")
+
     def test_print_options_exercise(self, capsys):
         """Extended logging columns + repeat header + limit warning
         (reference print-options smoke, moi_proxsdp_unit.jl:350-356;

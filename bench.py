@@ -66,10 +66,23 @@ def run_tpu_solver(path):
 def numpy_reference_proxy(path, rank, iters=60):
     """Per-iteration wall time of reference-style single-core math.
 
-    Returns the MINIMUM over 3 timed repetitions — the proxy shares the
-    host with background load, and the minimum is the standard
+    Pinned to ONE BLAS thread (the "single-core" claim; also makes the
+    measurement insensitive to concurrent host load — unpinned BLAS
+    timings on this machine swing >10x with background activity).
+    Returns the MINIMUM over 3 timed repetitions, the standard
     load-insensitive estimator."""
-    return min(_proxy_once(path, rank, iters=max(iters // 2, 20)) for _ in range(3))
+    try:
+        from threadpoolctl import threadpool_limits
+    except Exception:
+        import contextlib
+
+        def threadpool_limits(limits):  # noqa: ANN001
+            return contextlib.nullcontext()
+
+    with threadpool_limits(limits=1):
+        return min(
+            _proxy_once(path, rank, iters=max(iters // 2, 20)) for _ in range(3)
+        )
 
 
 def _proxy_once(path, rank, iters):

@@ -56,6 +56,48 @@ PUBLISHED = {
     "gpp500-2": -156.060,
     "gpp500-3": -513.018,
     "gpp500-4": -1567.02,
+    # remaining SDPLIB 1.2 families shipped in /root/reference/test/data
+    # (values from Borchers' SDPLIB 1.2 table; the reference repo ships
+    # the data but publishes no targets for these)
+    "theta1": 23.00,
+    "theta2": 32.879,
+    "theta3": 42.167,
+    "theta4": 50.321,
+    "theta5": 57.232,
+    "theta6": 63.477,
+    "thetaG11": 400.00,
+    "thetaG51": 349.00,
+    "arch0": 0.566517,
+    "arch2": 0.671515,
+    "arch4": 0.9726274,
+    "arch8": 7.05698,
+    "control1": 17.78463,
+    "control2": 8.300000,
+    "control3": 13.63327,
+    "control4": 19.79423,
+    "control5": 16.8836,
+    "control6": 37.3044,
+    "control7": 20.6251,
+    "control8": 20.286,
+    "truss1": -8.999996,
+    "truss2": -123.3804,
+    "truss3": -9.109996,
+    "truss4": -9.009996,
+    "truss5": -132.6357,
+    "truss6": -901.0014,
+    "truss7": -900.0014,
+    "truss8": -133.1146,
+    "qap5": -436.00,
+    "qap6": -381.44,
+    "qap7": -425.00,
+    "qap8": -757.00,
+    "qap9": -1410.0,
+    "qap10": -1093.0,
+    "maxG11": 629.1648,
+    "maxG32": 1567.640,
+    "maxG51": 4003.809,
+    "qpG11": 2448.659,
+    "qpG51": 1181.000,
 }
 
 SETS = {
@@ -75,6 +117,20 @@ SETS = {
         for fam in ("gpp", "mcp")
         for n in (124, 250, 500)
         for i in (1, 2, 3, 4)
+    ],
+    # the other SDPLIB families shipped in /root/reference/test/data —
+    # small/medium instances solvable on CPU in minutes
+    "families": (
+        [f"theta{i}" for i in (1, 2, 3, 4)]
+        + [f"arch{i}" for i in (0, 2, 4, 8)]
+        + [f"control{i}" for i in (1, 2, 3, 4, 5, 6)]
+        + [f"truss{i}" for i in (1, 2, 3, 4, 5, 6, 7, 8)]
+        + [f"qap{i}" for i in (5, 6, 7, 8, 9, 10)]
+    ),
+    # the heavyweight tail (PSD sides 250-2000): run on TPU
+    "big": [
+        "theta5", "theta6", "control7", "control8",
+        "maxG11", "maxG51", "maxG32", "thetaG11", "qpG11",
     ],
 }
 

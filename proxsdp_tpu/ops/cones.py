@@ -62,6 +62,10 @@ class PsdProjResult(NamedTuple):
     current_rank: jax.Array  # int32 rank used
     warm: jax.Array  # warm-start vector for the next iteration's Lanczos
     used_full: jax.Array  # bool: dense eigh ran (gated or fallback/reseed)
+    # subspace-mode diagnostics (zeros outside subspace mode):
+    # [rnmax/scale, min_theta, npos] — fetched by the host to explain
+    # acceptance/rejection without debug callbacks (axon has none)
+    sub_stats: jax.Array  # block dtype, (3,)
 
 
 def psd_projection_block(
@@ -97,6 +101,7 @@ def psd_projection_block(
             current_rank=(proj > 0).astype(jnp.int32),
             warm=warm,
             used_full=jnp.asarray(False),
+            sub_stats=jnp.zeros((3,), dtype),
         )
 
     X = tri_to_square(v_block, side)
@@ -131,7 +136,9 @@ def psd_projection_block(
     def full_path(X):
         w, V = jnp.linalg.eigh(X.astype(eig_dtype))  # ascending
         pos = jnp.maximum(w, 0.0)
-        Xp = ((V * pos[None, :]) @ V.T).astype(dtype)
+        Xp = jnp.matmul(
+            V * pos[None, :], V.T, precision="float32"
+        ).astype(dtype)
         cur = jnp.sum(w > opt.tol_psd).astype(jnp.int32)
         return Xp, jnp.asarray(0.0, dtype), cur, V[:, -1].astype(dtype)
 
@@ -148,7 +155,9 @@ def psd_projection_block(
         def full_path_sub(X):
             w, V = jnp.linalg.eigh(X.astype(eig_dtype))  # ascending
             pos = jnp.maximum(w, 0.0)
-            Xp = ((V * pos[None, :]) @ V.T).astype(dtype)
+            Xp = jnp.matmul(
+                V * pos[None, :], V.T, precision="float32"
+            ).astype(dtype)
             cur = jnp.sum(w > opt.tol_psd).astype(jnp.int32)
             me = jnp.asarray(0.0, dtype)
             Vk = V[:, -k_sub:][:, ::-1].astype(dtype)  # top-k, descending
@@ -181,6 +190,17 @@ def psd_projection_block(
             return one(one(Y))
 
         def subspace_path(X):
+            # Pin MXU matmul precision: on TPU the DEFAULT f32 matmul is a
+            # single bfloat16 pass (~3 decimal digits), which floors the
+            # Ritz residual at ~2e-3 and makes the acceptance test reject
+            # every iteration (measured on mcp250-1: 100% dense-eigh
+            # fallback).  'float32' (= HIGHEST) keeps the tall-skinny
+            # (side,k) products exact-f32 — still MXU work, and these
+            # products are tiny next to the dense eigh they replace.
+            with jax.default_matmul_precision("float32"):
+                return _subspace_body(X)
+
+        def _subspace_body(X):
             Xb = X.astype(bdt)
             Q = _cholqr2(Xb @ warm.astype(bdt))
             Zb = Xb @ Q
@@ -215,6 +235,13 @@ def psd_projection_block(
             if accept_tol is not None:
                 thresh = jnp.maximum(thresh, accept_tol.astype(dtype))
             ok_resid = jnp.all(jnp.where(pos, rn <= thresh * scale, True))
+            stats = jnp.stack(
+                [
+                    (jnp.max(jnp.where(pos, rn, 0.0)) / scale).astype(dtype),
+                    jnp.min(theta).astype(dtype),
+                    jnp.sum(pos).astype(dtype),
+                ]
+            )
             # the basis must also exhibit a non-positive direction, i.e.
             # the positive eigenspace fits strictly inside the subspace
             covers = jnp.min(theta) <= opt.tol_psd
@@ -237,15 +264,16 @@ def psd_projection_block(
                 # new warm basis: Ritz vectors, dominant first
                 return Xp, me, cur, W[:, ::-1], jnp.asarray(False)
 
-            return jax.lax.cond(
+            out = jax.lax.cond(
                 conv_ok,
                 reconstruct,
                 lambda _: full_path_sub(X) + (jnp.asarray(True),),
                 operand=None,
             )
+            return out + (stats,)
 
-        Xp, me, cur, wv, uf = subspace_path(X)
-        return PsdProjResult(square_to_tri(Xp, side), me, cur, wv, uf)
+        Xp, me, cur, wv, uf, stats = subspace_path(X)
+        return PsdProjResult(square_to_tri(Xp, side), me, cur, wv, uf, stats)
 
     use_lz = (
         allow_lanczos
@@ -257,7 +285,8 @@ def psd_projection_block(
     if not use_lz:
         Xp, me, cur, wv = full_path(X)
         return PsdProjResult(
-            square_to_tri(Xp, side), me, cur, wv, jnp.asarray(True)
+            square_to_tri(Xp, side), me, cur, wv, jnp.asarray(True),
+            jnp.zeros((3,), dtype),
         )
 
     ncv = min(max(2 * opt.max_target_rank_krylov_eigs + 1, opt.eigsolver_min_lanczos), side)
@@ -273,7 +302,7 @@ def psd_projection_block(
             pos_mask = k_mask & (out.vals > 0.0)
             lam = jnp.where(pos_mask, out.vals, 0.0)
             W = out.vecs * jnp.sqrt(lam)[None, :]
-            Xp = W @ W.T
+            Xp = jnp.matmul(W, W.T, precision="float32")
             # min over the target_rank leading Ritz values
             me = jnp.min(jnp.where(k_mask, out.vals, jnp.inf))
             cur = jnp.sum(pos_mask).astype(jnp.int32)
@@ -292,4 +321,7 @@ def psd_projection_block(
     Xp, me, cur, wv, uf = jax.lax.cond(
         pred, lanczos_path, lambda X: full_path(X) + (jnp.asarray(True),), X
     )
-    return PsdProjResult(square_to_tri(Xp, side), me, cur, wv, uf)
+    return PsdProjResult(
+        square_to_tri(Xp, side), me, cur, wv, uf,
+        jnp.zeros((3,), dtype),
+    )

@@ -44,6 +44,16 @@ def lanczos_topk(X, v0, *, ncv: int, tol: float = 1e-12) -> LanczosResult:
     residual bounds res_i = |beta_ncv * S[ncv-1, i]| (so the caller can
     decide which pairs are trustworthy).
     """
+    with jax.default_matmul_precision("float32"):
+        return _lanczos_topk_impl(X, v0, ncv=ncv, tol=tol)
+
+
+def _lanczos_topk_impl(X, v0, *, ncv: int, tol: float) -> LanczosResult:
+    # NOTE on precision: on TPU the DEFAULT f32 matmul is a single bfloat16
+    # pass; Lanczos orthogonality and the Ritz residual bounds need true-f32
+    # products or the caller's acceptance check rejects every run.  The
+    # jit wrapper above pins 'float32' (= HIGHEST); f64 inputs are
+    # unaffected (f64 dots are exact regardless).
     n = X.shape[0]
     dtype = X.dtype
     eps = jnp.asarray(1e-30, dtype)

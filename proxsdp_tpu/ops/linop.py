@@ -37,11 +37,15 @@ class DenseOp:
     def shape(self):
         return self.mat.shape
 
+    # precision: on TPU an f32 dot_general defaults to one bfloat16 pass
+    # (~3 digits); the PDHG fixed-point map needs true-f32 products or the
+    # f32 race phase floors out at ~1e-3 residuals.  COO/ELL matvecs are
+    # elementwise+reduce (no dot_general) and are unaffected.
     def matvec(self, x):
-        return self.mat @ x
+        return jnp.matmul(self.mat, x, precision="float32")
 
     def rmatvec(self, y):
-        return self.mat.T @ y
+        return jnp.matmul(self.mat.T, y, precision="float32")
 
     def frobenius_norm(self):
         return jnp.sqrt(jnp.sum(self.mat * self.mat))

@@ -116,6 +116,10 @@ class State(NamedTuple):
     # dense eigh (gated, rejected-subspace fallback, or forced reseed) —
     # the subspace/Lanczos acceptance rate is 1 - proj_fallbacks/iter
     proj_fallbacks: jax.Array  # i32
+    # latest subspace-projection diagnostics of PSD block 0
+    # [rnmax/scale, min_theta, npos]; zeros outside subspace mode (the
+    # axon runtime has no debug callbacks, so diagnostics ride the state)
+    sub_stats: jax.Array  # solve dtype, (3,)
 
 
 def _nblocks(layout: ConeLayout) -> int:
@@ -239,6 +243,7 @@ def init_state(
         last_restart_iter=np.int32(0),
         last_restart_gap=dtype(np.inf),
         proj_fallbacks=np.int32(0),
+        sub_stats=np.zeros(3, dtype),
     )
 
 
@@ -305,6 +310,7 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
             force_full = p if force_full is None else (force_full | p)
 
     any_full = None
+    sub_stats = s.sub_stats
     for bi, (off, side) in enumerate(zip(layout.sdp_offsets, layout.sdp_sides)):
         tl = sympackedlen(side)
         res = psd_projection_block(
@@ -322,6 +328,8 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
         current_rank = current_rank.at[bi].set(res.current_rank)
         warm[bi] = res.warm
         any_full = res.used_full if any_full is None else (any_full | res.used_full)
+        if bi == 0:
+            sub_stats = res.sub_stats
 
     for off, ln in zip(layout.soc_offsets, layout.soc_lens):
         blk = jax.lax.dynamic_slice(x, (off,), (ln,))
@@ -340,6 +348,7 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
         max_soc_gap=max_soc_gap,
         proj_fallbacks=s.proj_fallbacks
         + (any_full.astype(jnp.int32) if any_full is not None else 0),
+        sub_stats=sub_stats,
     )
 
 
@@ -658,12 +667,12 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
         xa_ = avg_x / wsum
         ya_ = avg_y / wsum
         Mxa_ = avg_Mx / wsum
-        po_a = jnp.dot(o.c, xa_)
+        po_a = jnp.dot(o.c, xa_, precision="float32")
         do_a = jnp.asarray(0.0, po_a.dtype)
         if p_:
-            do_a = do_a - jnp.dot(o.b, ya_[:p_])
+            do_a = do_a - jnp.dot(o.b, ya_[:p_], precision="float32")
         if m_:
-            do_a = do_a - jnp.dot(o.h, ya_[p_:])
+            do_a = do_a - jnp.dot(o.h, ya_[p_:], precision="float32")
         gap_a = jnp.abs(po_a - do_a) / (1.0 + jnp.abs(po_a) + jnp.abs(do_a))
         feas_a = jnp.asarray(0.0, gap_a.dtype)
         if p_:
@@ -758,6 +767,9 @@ def make_chunk_runner(layout: ConeLayout, opts: Options):
                 s.buf_comb[i],
                 jnp.sum(s.target_rank).astype(ft),
                 s.proj_fallbacks.astype(ft),
+                s.sub_stats[0].astype(ft),
+                s.sub_stats[1].astype(ft),
+                s.sub_stats[2].astype(ft),
             ]
         )
 
@@ -1135,6 +1147,9 @@ def solve(
             "comb": float(v[8]),
             "sum_target_rank": int(v[9]),
             "proj_fallbacks": int(v[10]),
+            "sub_rel_resid": float(v[11]),
+            "sub_min_theta": float(v[12]),
+            "sub_npos": int(v[13]),
         }
 
     final_status = None

@@ -212,6 +212,7 @@ def solve_sdp(
     hs=(),
     sense: str = "min",
     options: Options | None = None,
+    warm_start=None,
     **kwargs,
 ) -> tuple[np.ndarray, Result]:
     """Standard-form single-block SDP:
@@ -229,5 +230,5 @@ def solve_sdp(
     for G, h in zip(Gs, hs):
         opt.add_ineq_constraint(opt.psd_inner_product_coeffs(X, G), h)
     opt.set_objective(opt.psd_inner_product_coeffs(X, C), sense=sense)
-    res = opt.optimize()
+    res = opt.optimize(warm_start=warm_start)
     return opt.get_psd_solution(X), res

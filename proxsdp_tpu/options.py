@@ -139,6 +139,18 @@ class Options:
     full_eig_freq: int = 10_000_000
     full_eig_len: int = 0
 
+    # objective normalization (TPU-native extension, no reference
+    # counterpart): solve min <c/||c||, x> and unscale duals/objectives on
+    # the way out.  PDLP-style conditioning; without it, problems with
+    # ||c|| >> ||b|| (SDPLIB theta/gpp) overshoot the cold-start dual by
+    # ||c|| and stall the primal at 0 (theta2 was mis-declared infeasible).
+    scale_objective: bool = True
+    # rhs normalization companion (see SetupProblem.rhs_scale): b and h are
+    # divided by ||[b; h]|| — exact for conic problems (cones are
+    # scale-invariant).  randsdp's ||b||=806 needed 23k iterations
+    # unscaled; with both scalings it solves in ~900.
+    scale_rhs: bool = True
+
     # equilibration parameters (reference: src/options.jl:122-128)
     equilibration: bool = False
     equilibration_iters: int = 1000

@@ -82,7 +82,8 @@ def _cached_batch_runner_normalized(layout, opts: Options, m_kind: str):
     else:
         m_axes = None
     op_axes = Operands(
-        M=m_axes, b=0, h=0, c=0, norm_b=0, norm_h=0, norm_c=0, chunk_end=None
+        M=m_axes, b=0, h=0, c=0, norm_b=0, norm_h=0, norm_c=0,
+        chunk_end=None, obj_scale=0,
     )
     viter = jax.vmap(iteration, in_axes=(0, op_axes))
 
@@ -207,6 +208,9 @@ def _batch_operands(setups, dt, force_linop=None):
         norm_b=jnp.asarray(np.array([s.norm_b for s in setups]), dt),
         norm_h=jnp.asarray(np.array([s.norm_h for s in setups]), dt),
         norm_c=jnp.asarray(np.array([s.norm_c for s in setups]), dt),
+        obj_scale=jnp.asarray(
+            np.array([s.obj_scale * s.rhs_scale for s in setups]), dt
+        ),
         chunk_end=jnp.asarray(0, jnp.int32),
     )
     return ops, m_kind
@@ -244,10 +248,18 @@ def solve_batch(
     whole batch is cast to f64 and finished by the f64 program — the
     batched version of the single-instance hybrid driver in solver.solve.
     """
-    opts = _force_batch_options((options or Options()).replace(**kwargs))
+    cert_opts = (options or Options()).replace(**kwargs)
+    opts = _force_batch_options(cert_opts)
     t0 = time.time()
 
-    setups = [preprocess(p) for p in problems]
+    setups = [
+        preprocess(
+            p,
+            scale_objective=opts.scale_objective,
+            scale_rhs=opts.scale_rhs,
+        )
+        for p in problems
+    ]
     layout = setups[0].layout
     for s in setups[1:]:
         if s.layout != layout:
@@ -279,6 +291,7 @@ def solve_batch(
             b=shard(ops.b), h=shard(ops.h), c=shard(ops.c),
             norm_b=shard(ops.norm_b), norm_h=shard(ops.norm_h),
             norm_c=shard(ops.norm_c),
+            obj_scale=shard(ops.obj_scale),
         )
         if m_kind != "shared":
             # batched operator: shard its per-instance leaves too
@@ -411,14 +424,27 @@ def solve_batch(
         st = int(states_np.status[i])
         if st == 0:
             st = 3 if int(states_np.iter[i]) >= budget.max_iter else 2
-        results.append(
-            _cache_solution(
-                _index_state(states_np, i),
-                setups[i],
-                opts,
-                t0,
-                status=st,
-                status_string=STATUS_STRINGS[st],
-            )
+        res = _cache_solution(
+            _index_state(states_np, i),
+            setups[i],
+            opts,
+            t0,
+            status=st,
+            status_string=STATUS_STRINGS[st],
         )
+        if st in (5, 6) and cert_opts.certificate_search:
+            # batched certificate search: the reference always follows an
+            # infeasible/unbounded declaration with a ray search
+            # (pdhg.jl:639-676).  Declarations are rare, so rather than
+            # carrying zeroed-operand variants through the vmapped program,
+            # re-enter the single-instance driver warm-started from the
+            # batch iterate — it re-declares within a few chunks and then
+            # runs the standard certificate loop (ray checks, budgets,
+            # snapshot-on-failure semantics identical to solver.solve).
+            from ..solver import solve as _solve_single
+
+            res = _solve_single(
+                problems[i], cert_opts, warm_start=res
+            )
+        results.append(res)
     return results

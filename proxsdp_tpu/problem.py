@@ -187,6 +187,20 @@ class SetupProblem:
     norm_c: float
     objective_sense: str = "min"
     objective_constant: float = 0.0
+    # PDLP-style data conditioning (no reference counterpart; the
+    # reference inherits both imbalances):
+    # * obj_scale:  the device solves min <c/obj_scale, x>; duals and
+    #   objective values are multiplied back on the way out.  SDPLIB's
+    #   theta/gpp families carry ||c|| ~ 1e2-1e3 against ||b|| = 1, which
+    #   makes the cold-start dual overshoot by that factor and stall the
+    #   primal at 0 for thousands of iterations (theta2 was mis-declared
+    #   infeasible without it).
+    # * rhs_scale:  b and h are divided by ||[b; h]||; the cones are
+    #   scale-invariant so the solver's x is exactly x_user / rhs_scale.
+    #   randsdp (||b||=806) needed 23k iterations unscaled and diverged
+    #   with c-scaling alone; with both scalings it solves in 913.
+    obj_scale: float = 1.0
+    rhs_scale: float = 1.0
 
 
 def _colscale(M, scale: np.ndarray):
@@ -202,12 +216,19 @@ def _tocsc(M):
     return np.asarray(M, dtype=np.float64)
 
 
-def preprocess(problem: ConicProblem) -> SetupProblem:
+def preprocess(
+    problem: ConicProblem,
+    *,
+    scale_objective: bool = True,
+    scale_rhs: bool = True,
+) -> SetupProblem:
     """Cone-first permutation + sqrt(2) triangle scaling.
 
     Mirrors reference preprocess! (src/scaling.jl:2-26) and norm_scaling
     (src/scaling.jl:28-58) as pure index/column transforms applied once on
-    the host — nothing dynamic remains for the device loop.
+    the host — nothing dynamic remains for the device loop.  On top of the
+    reference's transforms, the objective is normalized to unit 2-norm
+    (``scale_objective``, see SetupProblem.obj_scale).
     """
     n = problem.n
     cone_vars = problem.sdp_vars + problem.soc_vars
@@ -252,12 +273,22 @@ def preprocess(problem: ConicProblem) -> SetupProblem:
     G_s = _colscale(G, scale) if problem.m else G
     c_s = c * scale
 
+    obj_scale = 1.0
+    if scale_objective and norm_c > 1e-12:
+        obj_scale = norm_c
+        c_s = c_s / obj_scale
+
+    rhs_norm = float(np.hypot(norm_b, norm_h))
+    rhs_scale = 1.0
+    if scale_rhs and rhs_norm > 1e-12:
+        rhs_scale = rhs_norm
+
     return SetupProblem(
         layout=layout,
         A=A_s,
         G=G_s,
-        b=problem.b.copy(),
-        h=problem.h.copy(),
+        b=problem.b / rhs_scale,
+        h=problem.h / rhs_scale,
         c=c_s,
         A_orig=A_orig,
         G_orig=G_orig,
@@ -265,11 +296,13 @@ def preprocess(problem: ConicProblem) -> SetupProblem:
         h_orig=h_orig,
         c_orig=c_orig,
         var_ordering=var_ordering,
-        norm_b=norm_b,
-        norm_h=norm_h,
-        norm_c=norm_c,
+        norm_b=norm_b / rhs_scale,
+        norm_h=norm_h / rhs_scale,
+        norm_c=norm_c / obj_scale,
         objective_sense=problem.objective_sense,
         objective_constant=problem.objective_constant,
+        obj_scale=obj_scale,
+        rhs_scale=rhs_scale,
     )
 
 

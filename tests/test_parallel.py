@@ -131,3 +131,51 @@ class TestBatchPerInstanceM:
                   for s in range(3)]
         _, kind = _batch_operands(setups, jnp.float64)
         assert kind in ("dense_batched", "ell_batched")
+
+
+class TestBatchCertificates:
+    """Batched certificate search: an instance declared infeasible or
+    unbounded in a batch gets the same ray search as a single solve
+    (reference always follows a declaration with one, pdhg.jl:639-676;
+    round-1 batch mode reported 5/6 without searching)."""
+
+    def test_batch_infeasible_instance_gets_dual_ray(self):
+        def feasible():
+            opt = px.Optimizer()
+            X = opt.add_psd_var(2)
+            opt.add_eq_constraint({int(X[0, 0]): 1.0}, 1.0)
+            opt.set_objective({int(X[1, 1]): 1.0}, sense="min")
+            return opt.build_problem()
+
+        def infeasible():
+            opt = px.Optimizer()
+            X = opt.add_psd_var(2)
+            opt.add_eq_constraint({int(X[0, 0]): 1.0}, -1.0)  # x11=-1, X psd
+            opt.set_objective({int(X[1, 1]): 1.0}, sense="min")
+            return opt.build_problem()
+
+        res = solve_batch(
+            [feasible(), infeasible()],
+            px.Options(hybrid_precision=False, max_iter=20000),
+        )
+        assert res[0].status == 1
+        assert res[1].status == 6, res[1].status_string
+        assert res[1].certificate_found, res[1].status_string
+        assert "ray" in res[1].status_string.lower()
+
+    def test_batch_cert_search_disabled(self):
+        def infeasible():
+            opt = px.Optimizer()
+            X = opt.add_psd_var(2)
+            opt.add_eq_constraint({int(X[0, 0]): 1.0}, -1.0)
+            opt.set_objective({int(X[1, 1]): 1.0}, sense="min")
+            return opt.build_problem()
+
+        res = solve_batch(
+            [infeasible(), infeasible()],
+            px.Options(hybrid_precision=False, max_iter=20000,
+                       certificate_search=False),
+        )
+        for r in res:
+            assert r.status == 6
+            assert not r.certificate_found

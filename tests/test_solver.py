@@ -370,3 +370,73 @@ class TestInitState:
         stw = init_state(setup.layout, px.Options(), setup, warm=(x0, y0))
         np.testing.assert_allclose(np.asarray(stw.x_old), x0, rtol=1e-12)
         assert np.any(np.asarray(stw.Mx_old) != 0.0)
+
+
+class TestDataScaling:
+    """PDLP-style objective/rhs normalization (Options.scale_objective /
+    scale_rhs; TPU-native extension).  The solver must return USER-unit
+    primal/dual/objective values, and badly-imbalanced instances must not
+    be mis-declared (theta2 with ||c||=141 was declared infeasible, and
+    randsdp with ||b||=806 needed 23k iterations, before these)."""
+
+    def _mineig(self, scale_c, scale_b):
+        # min <sc*C, X> s.t. <I, X> = sb, X psd  -> obj = sc*sb*lam_min(C)
+        import numpy as np
+        from proxsdp_tpu.api import solve_sdp
+
+        C = scale_c * np.array([[2.0, 1.0], [1.0, 2.0]])
+        return solve_sdp(C=C, As=[np.eye(2)], bs=[scale_b])
+
+    def test_unscaling_exact(self):
+        X, r = self._mineig(100.0, 50.0)
+        assert r.status == 1
+        # lam_min = 1 -> obj = 100*50*1
+        assert abs(r.objval - 5000.0) / 5000.0 < 1e-3
+        # dual of <I,X>=b is lam_min(C) = 100 in user units; the solver
+        # carries the reference's sign convention (dual_obj = -b'y), so
+        # the stored multiplier is -lam_min
+        np.testing.assert_allclose(r.dual_eq, [-100.0], rtol=1e-2)
+        # primal solution X = b * v v^T with trace b = 50
+        assert abs(np.trace(X) - 50.0) / 50.0 < 1e-3
+
+    def test_scaling_off_matches_on(self):
+        X1, r1 = self._mineig(3.0, 2.0)
+        from proxsdp_tpu.api import solve_sdp
+        import numpy as np
+
+        C = 3.0 * np.array([[2.0, 1.0], [1.0, 2.0]])
+        X2, r2 = solve_sdp(
+            C=C, As=[np.eye(2)], bs=[2.0],
+            options=px.Options(scale_objective=False, scale_rhs=False),
+        )
+        assert r1.status == r2.status == 1
+        assert abs(r1.objval - r2.objval) < 1e-2 * (1 + abs(r2.objval))
+
+    def test_imbalanced_objective_not_misdeclared(self):
+        # theta-style imbalance: huge ||c||, ||b||=1.  Without obj scaling
+        # the dual overshoots by ||c|| and the stall heuristic declares
+        # infeasible; with it this must solve.
+        import numpy as np
+        from proxsdp_tpu.api import solve_sdp
+
+        rng = np.random.RandomState(7)
+        B = rng.randn(12, 12)
+        C = 200.0 * (B + B.T) / 2.0
+        X, r = solve_sdp(C=C, As=[np.eye(12)], bs=[1.0],
+                         options=px.Options(max_iter=20000))
+        assert r.status == 1, r.status_string
+        lam = np.linalg.eigvalsh(C).min()
+        assert abs(r.objval - lam) < 1e-2 * (1 + abs(lam))
+
+    def test_warm_start_round_trip_with_scaling(self):
+        # warm-starting from a USER-unit Result must land at the solution
+        # (ingestion divides by the scales the Result multiplied in)
+        X, r = self._mineig(100.0, 50.0)
+        from proxsdp_tpu.api import solve_sdp
+        import numpy as np
+
+        C = 100.0 * np.array([[2.0, 1.0], [1.0, 2.0]])
+        X2, r2 = solve_sdp(C=C, As=[np.eye(2)], bs=[50.0], warm_start=r)
+        assert r2.status == 1
+        assert r2.iter <= r.iter
+        assert abs(r2.objval - 5000.0) / 5000.0 < 1e-3

@@ -203,6 +203,103 @@ class Optimizer:
         assert self.result is not None
         return self.result.objval
 
+    # MOI attribute surface (reference src/MOI_wrapper.jl:356-530): the
+    # getters users of the reference's wrapper rely on, as plain Python
+    # properties/methods on the same Optimizer object.
+    @property
+    def dual_objective_value(self) -> float:
+        assert self.result is not None
+        return self.result.dual_objval
+
+    @property
+    def solve_time_sec(self) -> float:
+        """MOI.SolveTimeSec (MOI_wrapper.jl:455-457)."""
+        assert self.result is not None
+        return self.result.time
+
+    @property
+    def raw_status_string(self) -> str:
+        """MOI.RawStatusString (MOI_wrapper.jl:459-461)."""
+        assert self.result is not None
+        return self.result.status_string
+
+    @property
+    def result_count(self) -> int:
+        """MOI.ResultCount (MOI_wrapper.jl:463-465)."""
+        return 0 if self.result is None else max(self.result.result_count, 1)
+
+    @property
+    def pdhg_iterations(self) -> int:
+        """ProxSDP.PDHGIterations custom attribute (MOI_wrapper.jl:364-375)."""
+        assert self.result is not None
+        return self.result.iter
+
+    @property
+    def silent(self) -> bool:
+        """MOI.Silent — suppresses the banner/progress log."""
+        return not self.options.log_verbose
+
+    @silent.setter
+    def silent(self, value: bool):
+        self.options = self.options.replace(log_verbose=not value)
+
+    @property
+    def time_limit_sec(self) -> float | None:
+        """MOI.TimeLimitSec get/set (seconds)."""
+        return self.options.time_limit
+
+    @time_limit_sec.setter
+    def time_limit_sec(self, value: float | None):
+        self.options = self.options.replace(
+            time_limit=360000.0 if value is None else float(value)
+        )
+
+    @property
+    def primal_status(self) -> str:
+        """MOI.PrimalStatus (MOI_wrapper.jl:413-425): FEASIBLE_POINT,
+        INFEASIBILITY_CERTIFICATE (unbounded + primal ray), or NO_SOLUTION."""
+        if self.result is None:
+            return "NO_SOLUTION"
+        r = self.result
+        if r.status == 5 and r.certificate_found:
+            return "INFEASIBILITY_CERTIFICATE"
+        if r.primal_feasible_user_tol:
+            return "FEASIBLE_POINT"
+        return "NO_SOLUTION" if r.status != 1 else "FEASIBLE_POINT"
+
+    @property
+    def dual_status(self) -> str:
+        """MOI.DualStatus (MOI_wrapper.jl:427-441): FEASIBLE_POINT,
+        INFEASIBILITY_CERTIFICATE (infeasible + dual ray), or NO_SOLUTION."""
+        if self.result is None:
+            return "NO_SOLUTION"
+        r = self.result
+        if r.status == 6 and r.certificate_found:
+            return "INFEASIBILITY_CERTIFICATE"
+        if r.dual_feasible_user_tol:
+            return "FEASIBLE_POINT"
+        return "NO_SOLUTION" if r.status != 1 else "FEASIBLE_POINT"
+
+    def get_eq_dual(self, row: int) -> float:
+        """Dual multiplier of the row-th equality constraint (reference
+        ConstraintDual for Zeros rows, MOI_wrapper.jl:487-497)."""
+        assert self.result is not None
+        return float(self.result.dual_eq[row])
+
+    def get_ineq_dual(self, row: int) -> float:
+        """Dual multiplier of the row-th inequality constraint."""
+        assert self.result is not None
+        return float(self.result.dual_in[row])
+
+    def get_eq_slack(self, row: int) -> float:
+        """A x - b of the row-th equality (ConstraintPrimal is b + slack)."""
+        assert self.result is not None
+        return float(self.result.slack_eq[row])
+
+    def get_ineq_slack(self, row: int) -> float:
+        assert self.result is not None
+        return float(self.result.slack_in[row])
+
 
 def solve_sdp(
     C,

@@ -571,3 +571,55 @@ class TestConeProgramIngestion:
             solve_cone_program(
                 np.ones(2), np.ones((3, 2)), np.ones(3), dims=ConeDims(z=2)
             )
+
+
+class TestMOIAttributeSurface:
+    """MOI attribute getters users of the reference wrapper rely on
+    (reference src/MOI_wrapper.jl:356-530)."""
+
+    def _solved(self):
+        opt = px.Optimizer()
+        X = opt.add_psd_var(2)
+        opt.add_eq_constraint({int(X[0, 0]): 1.0}, 1.0)
+        opt.add_eq_constraint({int(X[1, 1]): 1.0}, 1.0)
+        opt.set_objective(
+            opt.psd_inner_product_coeffs(X, np.eye(2)), sense="min"
+        )
+        opt.optimize()
+        return opt
+
+    def test_attributes(self):
+        opt = self._solved()
+        assert opt.termination_status == "OPTIMAL"
+        assert opt.primal_status == "FEASIBLE_POINT"
+        assert opt.dual_status == "FEASIBLE_POINT"
+        assert opt.result_count == 1
+        assert opt.pdhg_iterations > 0
+        assert opt.solve_time_sec > 0
+        assert "Optimal" in opt.raw_status_string
+        assert abs(opt.objective_value - 2.0) < 1e-3
+        assert abs(opt.dual_objective_value - 2.0) < 1e-2
+        assert abs(opt.get_eq_slack(0)) < 1e-3
+        # eq duals of min tr(X) s.t. diag fixed are -1 each (solver sign
+        # convention: dual_obj = -b'y)
+        assert abs(opt.get_eq_dual(0) + 1.0) < 1e-2
+
+    def test_silent_and_time_limit(self):
+        opt = px.Optimizer()
+        assert opt.silent  # log_verbose off by default
+        opt.silent = False
+        assert opt.options.log_verbose
+        opt.silent = True
+        opt.time_limit_sec = 12.5
+        assert opt.options.time_limit == 12.5
+        opt.time_limit_sec = None
+        assert opt.options.time_limit == 360000.0
+
+    def test_certificate_statuses(self):
+        opt = px.Optimizer()
+        X = opt.add_psd_var(2)
+        opt.add_eq_constraint({int(X[0, 0]): 1.0}, -1.0)
+        opt.set_objective({int(X[1, 1]): 1.0}, sense="min")
+        opt.optimize()
+        assert opt.termination_status == "INFEASIBLE"
+        assert opt.dual_status == "INFEASIBILITY_CERTIFICATE"

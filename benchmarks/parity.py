@@ -118,6 +118,9 @@ SETS = {
         for n in (124, 250, 500)
         for i in (1, 2, 3, 4)
     ],
+    "500": [
+        f"{fam}500-{i}" for fam in ("mcp", "gpp") for i in (1, 2, 3, 4)
+    ],
     # the other SDPLIB families shipped in /root/reference/test/data —
     # small/medium instances solvable on CPU in minutes
     "families": (
@@ -161,6 +164,8 @@ def violations(res, problem):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--set", default="mini", choices=sorted(SETS))
+    ap.add_argument("--instances", default="",
+                    help="comma-separated explicit instance list (overrides --set)")
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--time-limit", type=float, default=300.0)
     ap.add_argument("--out", default="parity.csv")
@@ -180,7 +185,12 @@ def main():
     out_f.flush()
 
     rows = []
-    for name in SETS[args.set]:
+    names = (
+        [t for t in args.instances.split(",") if t]
+        if args.instances
+        else SETS[args.set]
+    )
+    for name in names:
         path = os.path.join(DATA_DIR, f"{name}.dat-s")
         if not os.path.exists(path):
             print(f"{name}: MISSING", flush=True)
@@ -192,7 +202,11 @@ def main():
         )
         problem, _ = sdplib_problem(path, opts)
         t0 = time.time()
-        res = solve(problem, opts)
+        try:
+            res = solve(problem, opts)
+        except Exception as e:  # TPU worker faults etc: log and continue
+            print(f"{name}: CRASH {type(e).__name__}: {e}", flush=True)
+            continue
         dt = time.time() - t0
         lin, psd = violations(res, problem)
         pub = PUBLISHED.get(name)

@@ -87,29 +87,100 @@ def _try_native(path: str):
         return None
 
 
-def sdplib_problem(path: str, options: Options | None = None):
-    """Build the ConicProblem for a .dat-s instance; returns (problem, n)."""
+def sdplib_blocks(path: str):
+    """Block-structure line of a .dat-s file: list of signed block sizes
+    (negative = diagonal/LP block, SDPA convention)."""
+    with open(path) as f:
+        body = []
+        for ln in f:
+            if ln.strip() and ln.lstrip()[0] not in "*\"'":
+                body.append(ln)
+                if len(body) >= 3:
+                    break
+    nblocks = int(float(body[1].split()[0]))
+    return _parse_block_line(body[2])[:nblocks]
+
+
+def sdplib_problem(
+    path: str, options: Options | None = None, *, split_blocks: bool = True
+):
+    """Build the ConicProblem for a .dat-s instance; returns (problem, X).
+
+    split_blocks=True (default; TPU-first deviation from the reference):
+    each SDPA block becomes its own PSD block, and diagonal (negative-
+    size) blocks become nonnegative scalar variables (one inequality row
+    each) instead of being embedded in one huge dense PSD block.  The
+    reference's base_sdplib.jl embeds everything into a single block of
+    side sum(|sizes|), which turns e.g. arch0 (161-dense + 174-diagonal)
+    into a side-335 dense block and makes the LP part pay an O(side^3)
+    eigendecomposition; split mode solves the same problem with a side-161
+    eigh + 174 scalar projections.  split_blocks=False reproduces the
+    reference embedding exactly.
+
+    X is the index matrix of the largest PSD block (for solution
+    extraction / PSD-ness checks).
+    """
     n, m, entries, c = sdplib_data(path)
-    tl = sympackedlen(n)
-
-    # triangle-variable index of (i, j) 1-based with i<=j
-    def tvar(i, j):
-        return int(tri_pos(i - 1, j - 1))
-
-    obj: dict = {}
-    rows: list[dict] = [dict() for _ in range(m)]
-    for matno, i, j, val in entries:
-        matno, i, j = int(matno), int(i), int(j)
-        coef = val if i == j else 2.0 * val  # <F, X> counts off-diag twice
-        tgt = obj if matno == 0 else rows[matno - 1]
-        v = tvar(i, j)
-        tgt[v] = tgt.get(v, 0.0) + coef
 
     opt = Optimizer(options)
-    X = opt.add_psd_var(n)
+    if not split_blocks:
+        tl = sympackedlen(n)
+
+        def tvar(i, j):
+            return int(tri_pos(i - 1, j - 1))
+
+        obj: dict = {}
+        rows: list[dict] = [dict() for _ in range(m)]
+        for matno, i, j, val in entries:
+            matno, i, j = int(matno), int(i), int(j)
+            coef = val if i == j else 2.0 * val
+            tgt = obj if matno == 0 else rows[matno - 1]
+            v = tvar(i, j)
+            tgt[v] = tgt.get(v, 0.0) + coef
+        X = opt.add_psd_var(n)
+        for k in range(m):
+            opt.add_eq_constraint(rows[k], c[k])
+        opt.set_objective(obj, sense="min")
+        return opt.build_problem(), X
+
+    blks = sdplib_blocks(path)
+    cum = np.concatenate([[0], np.cumsum(np.abs(blks))])
+
+    psd_idx = {}
+    diag_vars = {}
+    for bi, bs in enumerate(blks):
+        if bs > 0:
+            psd_idx[bi] = opt.add_psd_var(int(bs))
+        else:
+            d = -int(bs)
+            vs = opt.add_free_vars(d)
+            diag_vars[bi] = vs
+            for v in vs:
+                opt.add_ineq_constraint({int(v): -1.0}, 0.0)  # v >= 0
+
+    obj = {}
+    rows = [dict() for _ in range(m)]
+    for matno, i, j, val in entries:
+        matno, i, j = int(matno), int(i), int(j)
+        bi = int(np.searchsorted(cum, i - 1, side="right")) - 1
+        li, lj = i - int(cum[bi]), j - int(cum[bi])
+        if bi in psd_idx:
+            v = int(psd_idx[bi][li - 1, lj - 1])
+            coef = val if li == lj else 2.0 * val
+        else:
+            assert li == lj, "off-diagonal entry in a diagonal block"
+            v = int(diag_vars[bi][li - 1])
+            coef = val
+        tgt = obj if matno == 0 else rows[matno - 1]
+        tgt[v] = tgt.get(v, 0.0) + coef
+
     for k in range(m):
         opt.add_eq_constraint(rows[k], c[k])
     opt.set_objective(obj, sense="min")
+    X = None
+    if psd_idx:
+        big = max(psd_idx, key=lambda b: blks[b])
+        X = psd_idx[big]
     return opt.build_problem(), X
 
 

@@ -1158,6 +1158,17 @@ def solve(
         chunk = max(min(opts.log_freq, 1024), opts.convergence_check)
     else:
         chunk = 1024
+    # adaptive chunk controller: a single XLA execution that runs for
+    # minutes starves wall-clock checks AND can trip the axon tunnel's
+    # execution deadline (measured: side-500 dense-f32 chunks of 1024
+    # iterations ~77 s consistently fault the worker; 200-iteration
+    # chunks solve the same instance).  Target ~15 s per execution,
+    # measured from the second chunk of each program (the first includes
+    # compile time).  chunk_end is a traced operand, so resizing is free.
+    chunk_max = chunk
+    chunk_target_s = 15.0
+    chunk_meas = {"per_iter": None, "skip_next": True}
+    chunk = min(chunk, 256)
     log_next = opts.log_freq
     ckpt_next = opts.checkpoint_freq
 
@@ -1234,6 +1245,24 @@ def solve(
                 jax.block_until_ready(state.x)
                 timers["f64 loop"] += time.time() - t_chunk
                 chunk_counts["f64"] += 1
+            dt_chunk = time.time() - t_chunk
+            ran = target - k0
+            if chunk_meas["skip_next"]:
+                # first execution of a (possibly fresh) program: compile
+                # time pollutes the measurement
+                chunk_meas["skip_next"] = False
+            elif ran > 0 and dt_chunk > 0.05:
+                per = dt_chunk / ran
+                old = chunk_meas["per_iter"]
+                chunk_meas["per_iter"] = per if old is None else (
+                    0.5 * old + 0.5 * per
+                )
+                chunk = int(
+                    min(
+                        max(chunk_target_s / chunk_meas["per_iter"], 100),
+                        chunk_max,
+                    )
+                )
         t_sync = time.time()
         sc = fetch_scalars(state)
         timers["host sync"] += time.time() - t_sync
@@ -1303,6 +1332,8 @@ def solve(
                     phase32 = False
                     continue
                 state = _cast_state(state, jnp.float64)
+                chunk_meas["skip_next"] = True
+                chunk_meas["per_iter"] = None  # f64 rate differs from f32
                 # f64 polish program: persistent-subspace projection sized
                 # from the rank the f32 phase observed (bucketed to bound
                 # the number of compiled variants)
@@ -1320,6 +1351,7 @@ def solve(
                         run_chunk, _, fetch = _cached_runner(
                             layout, opts_polish
                         )
+                        chunk_meas["skip_next"] = True
                         state = _seed_subspace_warm(
                             state, specs, k_sub, jnp.float64
                         )
@@ -1449,6 +1481,7 @@ def solve(
                     run_chunk, _, fetch = _cached_runner(
                         layout, opts.replace(subspace_rank=k_new)
                     )
+                    chunk_meas["skip_next"] = True
                     state = _seed_subspace_warm(
                         state, specs, k_new, jnp.float64
                     )
@@ -1462,6 +1495,7 @@ def solve(
                 elif k_cur and k_new == 0:
                     # rank too large for any bucket: dense-eigh program
                     run_chunk, _, fetch = _cached_runner(layout, opts)
+                    chunk_meas["skip_next"] = True
                     state = state._replace(
                         warm=tuple(
                             jnp.asarray(np.asarray(w)[:, 0], jnp.float64)

@@ -73,6 +73,14 @@ class Options:
     max_beta: float = 1e5
     initial_beta: float = 1.0
 
+    # Step-balance rule: "reference" = fire on the absolute tol_primal /
+    # tol_dual gates (pdhg.jl:306-332); "ratio" = fire whenever one PPA
+    # residual exceeds the other by step_balance_ratio (PDLP primal-weight
+    # style; escapes the deadlock where both residuals sit just above
+    # tolerance at a skewed ratio).
+    step_balance: str = "reference"
+    step_balance_ratio: float = 10.0
+
     # Adaptive primal-dual step parameters (reference: src/options.jl:50-53)
     initial_adapt_level: float = 0.9
     adapt_decay: float = 0.8

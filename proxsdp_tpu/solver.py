@@ -586,12 +586,23 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
     rank_update = jnp.where(reset, 0, rank_update)
     update_cont = jnp.where(reset, 0, update_cont)
 
-    # --- branches 3/4: adaptive step-size balance (pdhg.jl:306-332)
-    b3 = active & ~conv & ~b2 & (pres_k > opts.tol_primal) & (dres_k < opts.tol_dual) & (k > w)
-    b4 = (
-        active & ~conv & ~b2 & ~b3
-        & (pres_k < opts.tol_primal) & (dres_k > opts.tol_dual) & (k > w)
-    )
+    # --- branches 3/4: adaptive step-size balance (pdhg.jl:306-332).
+    # "reference" fires on the absolute tolerance gates; "ratio"
+    # (PDLP-style primal-weight balancing, TPU-native extension) fires
+    # whenever one PPA residual exceeds the other by step_balance_ratio —
+    # the absolute gates deadlock when both residuals sit just above
+    # their tolerances at a skewed ratio (gpp500: pres/dres ~ 20x,
+    # dres ~ 1.4e-4 > tol_dual, so the reference rule never rebalances).
+    if opts.step_balance == "ratio":
+        r_ = opts.step_balance_ratio
+        b3 = active & ~conv & ~b2 & (pres_k > r_ * dres_k) & (k > w)
+        b4 = active & ~conv & ~b2 & ~b3 & (dres_k > r_ * pres_k) & (k > w)
+    else:
+        b3 = active & ~conv & ~b2 & (pres_k > opts.tol_primal) & (dres_k < opts.tol_dual) & (k > w)
+        b4 = (
+            active & ~conv & ~b2 & ~b3
+            & (pres_k < opts.tol_primal) & (dres_k > opts.tol_dual) & (k > w)
+        )
     ada_count = s.ada_count + jnp.where(b3 | b4, 1, 0)
     fire3 = b3 & (ada_count > opts.adapt_window)
     fire4 = b4 & (ada_count > opts.adapt_window)

@@ -325,3 +325,51 @@ def psd_projection_block(
         square_to_tri(Xp, side), me, cur, wv, uf,
         jnp.zeros((3,), dtype),
     )
+
+
+def psd_projection_small_batch(v_blocks, side: int, *, opt):
+    """Batched dense-eigh projection of B same-side packed triangles.
+
+    Multi-block parallelism (SURVEY §2.3): problems like SDPLIB's truss
+    family carry 100+ PSD blocks of one small side; projecting them with a
+    per-block Python loop serializes 100+ tiny eighs per iteration, while
+    one vmapped (B, side, side) eigh is a single batched kernel.  Only
+    valid for blocks whose gating guarantees the dense full path (side <=
+    min_size_krylov_eigs and <= full_eig_max_side, subspace off) — the
+    caller (solver._primal_step) checks that statically.
+
+    Returns (blocks (B, tl), min_eig (B,), current_rank (B,) i32,
+    warm (B, side)); min_eig is 0.0 per the reference's full-path
+    semantics (prox_operators.jl:114).
+    """
+    dtype = v_blocks.dtype
+    B = v_blocks.shape[0]
+    if side == 1:
+        proj = jnp.maximum(v_blocks, 0.0)
+        val = proj[:, 0]
+        return (
+            proj,
+            val,
+            (val > 0).astype(jnp.int32),
+            jnp.ones((B, 1), dtype),
+        )
+
+    eig_dtype = dtype
+    if (
+        opt.mixed_projection
+        and dtype == jnp.float32
+        and jax.config.jax_enable_x64
+    ):
+        eig_dtype = jnp.float64
+
+    X = jax.vmap(lambda v: tri_to_square(v, side))(v_blocks)
+    w, V = jnp.linalg.eigh(X.astype(eig_dtype))  # (B, s), (B, s, s)
+    pos = jnp.maximum(w, 0.0)
+    Xp = jnp.einsum(
+        "bik,bk,bjk->bij", V, pos, V, precision="float32"
+    ).astype(dtype)
+    cur = jnp.sum(w > opt.tol_psd, axis=1).astype(jnp.int32)
+    warm = V[:, :, -1].astype(dtype)
+    blocks = jax.vmap(lambda Xb: square_to_tri(Xb, side))(Xp)
+    zero = jnp.zeros((B,), dtype)
+    return blocks, zero, cur, warm

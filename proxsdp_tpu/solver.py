@@ -36,7 +36,12 @@ import numpy as np
 from .options import Options
 from .problem import ConeLayout, ConicProblem, SetupProblem, preprocess
 from .result import STATUS_STRINGS, Result
-from .ops.cones import box_projection, psd_projection_block, soc_projection_block
+from .ops.cones import (
+    box_projection,
+    psd_projection_block,
+    psd_projection_small_batch,
+    soc_projection_block,
+)
 from .ops.linop import build_linop
 from .equilibration import equilibrate_host
 from .utils.vech import offdiag_mask_tri, sympackedlen
@@ -314,9 +319,56 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
         for p in pulses:
             force_full = p if force_full is None else (force_full | p)
 
+    # ---- group same-side SMALL blocks into one batched eigh (multi-block
+    # parallelism, SURVEY §2.3): SDPLIB truss carries 100+ side-3 blocks;
+    # a per-block loop serializes 100+ tiny eighs per iteration, a vmapped
+    # (B, s, s) eigh is one batched kernel.  Grouping is only valid when
+    # the gating statically guarantees the dense full path for that side.
+    def _grouped(side: int) -> bool:
+        k_sub = int(min(opts.subspace_rank, side))
+        sub_on = 0 < k_sub < side // 2
+        return (
+            side <= opts.min_size_krylov_eigs
+            and side <= opts.full_eig_max_side
+            and not sub_on
+        )
+
+    by_side: dict = {}
+    singles = []
+    for bi, (off, side) in enumerate(zip(layout.sdp_offsets, layout.sdp_sides)):
+        if _grouped(side):
+            by_side.setdefault(side, []).append((bi, off))
+        else:
+            singles.append((bi, off, side))
+    # groups of one gain nothing; keep them on the scalar path
+    for side in [sd for sd, blks in by_side.items() if len(blks) < 2]:
+        for bi, off in by_side.pop(side):
+            singles.append((bi, off, side))
+    singles.sort()
+
     any_full = None
     sub_stats = s.sub_stats
-    for bi, (off, side) in enumerate(zip(layout.sdp_offsets, layout.sdp_sides)):
+    for side, blks in sorted(by_side.items()):
+        tl = sympackedlen(side)
+        stacked = jnp.stack(
+            [jax.lax.dynamic_slice(x, (off,), (tl,)) for _, off in blks]
+        )
+        blocks, me_b, cur_b, warm_b = psd_projection_small_batch(
+            stacked, side, opt=opts
+        )
+        for gi, (bi, off) in enumerate(blks):
+            x = jax.lax.dynamic_update_slice(x, blocks[gi], (off,))
+            warm[bi] = warm_b[gi]
+        idx = jnp.asarray([bi for bi, _ in blks], jnp.int32)
+        min_eig = min_eig.at[idx].set(me_b.astype(min_eig.dtype))
+        current_rank = current_rank.at[idx].set(cur_b)
+        # full-path semantics: the dense eigh ran (matches the per-block
+        # full path's used_full=True)
+        any_full = (
+            jnp.asarray(True) if any_full is None else any_full
+        )
+
+    for bi, off, side in singles:
         tl = sympackedlen(side)
         res = psd_projection_block(
             jax.lax.dynamic_slice(x, (off,), (tl,)),

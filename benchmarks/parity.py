@@ -17,6 +17,8 @@ values quoted to the precision commonly reported.
 from __future__ import annotations
 
 import argparse
+
+import jax
 import csv
 import os
 import sys
@@ -209,6 +211,13 @@ def main():
             continue
         dt = time.time() - t0
         lin, psd = violations(res, problem)
+        # drop this instance's compiled executables: a sweep accumulates
+        # programs + device buffers per geometry, and the axon worker
+        # faults (UNAVAILABLE) under the accumulation — each instance's
+        # recompile is served by the persistent on-disk XLA cache
+        import gc
+        gc.collect()
+        jax.clear_caches()
         pub = PUBLISHED.get(name)
         err = abs(abs(res.objval) - abs(pub)) / max(abs(pub), 1.0) if pub else None
         rows.append(

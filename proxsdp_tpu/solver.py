@@ -1168,12 +1168,13 @@ def solve(
     polish_ctx = {
         # f64 polish watchdog: a subspace whose rank is too small admits a
         # WRONG fixed point (the restricted-face optimum: PPA residuals
-        # vanish, gap stalls above tol).  Track gap improvement per chunk
-        # and on stall re-estimate the rank from the pre-projection matrix,
+        # vanish, gap stalls above tol).  Track gap improvement (in
+        # iterations — chunk sizes adapt) and on stall restart the steps
+        # and re-estimate the rank from the pre-projection matrix,
         # escalating the bucket or dropping to the dense-eigh program.
         "k_sub": 0,
         "best": float("inf"),
-        "stall": 0,
+        "since": None,
     }
 
     if resume_from:
@@ -1241,7 +1242,12 @@ def solve(
         "found": False,
         "fail_reason": "",
     }
-    hybrid_best = {"value": float("inf"), "stall": 0}
+    # stall windows are measured in ITERATIONS (chunk sizes adapt, so a
+    # chunk count would make stall declarations chunk-size dependent —
+    # measured: gpp500's f32 race was cut at gap 1.4e-1 with 100-iter
+    # chunks where 400-iter chunks let it reach 7.6e-4)
+    stall_window = max(3 * opts.convergence_window, 1500)
+    hybrid_best = {"value": float("inf"), "since": 0}
     tau0 = float(state.primal_step)
 
     # --- observability (reference: TimerOutputs spans, SURVEY.md §5).
@@ -1363,21 +1369,21 @@ def solve(
             metric = max(sc["gap"], sc["feas"])
             if metric < hybrid_best["value"] / 1.2:
                 hybrid_best["value"] = metric
-                hybrid_best["stall"] = 0
-            else:
-                hybrid_best["stall"] += 1
+                hybrid_best["since"] = k
             switch = (
                 st != 0
                 or (
                     sc["gap"] <= F * opts.tol_gap
                     and sc["feas"] <= F * opts.tol_feasibility
                 )
-                or hybrid_best["stall"] >= 3
+                or (k - hybrid_best["since"]) >= stall_window
                 or k >= budget.max_iter
                 or elapsed >= budget.time_limit
             )
             if switch:
-                stalled = hybrid_best["stall"] >= 3 and st == 0
+                stalled = (
+                    (k - hybrid_best["since"]) >= stall_window and st == 0
+                )
                 blew_up = not (
                     np.isfinite(sc["comb"])
                     and np.isfinite(sc["prim_obj"])
@@ -1506,13 +1512,13 @@ def solve(
             and sc["gap"] > opts.tol_gap
         ):
             metric = max(sc["gap"], sc["feas"])
+            if polish_ctx["since"] is None:
+                polish_ctx["since"] = k
             if metric < polish_ctx["best"] / 1.2:
                 polish_ctx["best"] = metric
-                polish_ctx["stall"] = 0
-            else:
-                polish_ctx["stall"] += 1
-            if polish_ctx["stall"] >= 3:
-                polish_ctx["stall"] = 0
+                polish_ctx["since"] = k
+            if (k - polish_ctx["since"]) >= stall_window:
+                polish_ctx["since"] = k
                 polish_ctx["best"] = metric
                 # step-machinery restart (keep iterates): a hand-over from
                 # a declared f32 point inherits adaptive steps tuned for a

@@ -1232,7 +1232,12 @@ def solve(
     chunk_max = chunk
     chunk_target_s = 15.0
     chunk_meas = {"per_iter": None, "skip_next": True}
-    chunk = min(chunk, 256)
+    # cold-start chunk: bound the first executions by a crude per-iteration
+    # cost model (the eigh work sum(side^3) dominates) so huge blocks don't
+    # fault the worker before the first rate measurement exists
+    est_iter_s = 3e-10 * sum(sd**3 for sd in layout.sdp_sides) + 1e-5
+    chunk0 = int(min(max(chunk_target_s / est_iter_s, 20), 256))
+    chunk = min(chunk, chunk0)
     log_next = opts.log_freq
     ckpt_next = opts.checkpoint_freq
 
@@ -1317,6 +1322,7 @@ def solve(
             dt_chunk = time.time() - t_chunk
             ran = target - k0
             if chunk_meas["skip_next"]:
+                chunk = min(chunk, chunk0)
                 # first execution of a (possibly fresh) program: compile
                 # time pollutes the measurement
                 chunk_meas["skip_next"] = False
@@ -1403,6 +1409,7 @@ def solve(
                 state = _cast_state(state, jnp.float64)
                 chunk_meas["skip_next"] = True
                 chunk_meas["per_iter"] = None  # f64 rate differs from f32
+                chunk = min(chunk, chunk0)
                 # f64 polish program: persistent-subspace projection sized
                 # from the rank the f32 phase observed (bucketed to bound
                 # the number of compiled variants)
@@ -1421,6 +1428,8 @@ def solve(
                             layout, opts_polish
                         )
                         chunk_meas["skip_next"] = True
+                        chunk_meas["per_iter"] = None
+                        chunk = min(chunk, chunk0)
                         state = _seed_subspace_warm(
                             state, specs, k_sub, jnp.float64
                         )
@@ -1551,6 +1560,8 @@ def solve(
                         layout, opts.replace(subspace_rank=k_new)
                     )
                     chunk_meas["skip_next"] = True
+                    chunk_meas["per_iter"] = None
+                    chunk = min(chunk, chunk0)
                     state = _seed_subspace_warm(
                         state, specs, k_new, jnp.float64
                     )
@@ -1565,6 +1576,8 @@ def solve(
                     # rank too large for any bucket: dense-eigh program
                     run_chunk, _, fetch = _cached_runner(layout, opts)
                     chunk_meas["skip_next"] = True
+                    chunk_meas["per_iter"] = None
+                    chunk = min(chunk, chunk0)
                     state = state._replace(
                         warm=tuple(
                             jnp.asarray(np.asarray(w)[:, 0], jnp.float64)

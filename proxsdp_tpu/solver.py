@@ -106,6 +106,10 @@ class State(NamedTuple):
     # certificate-search flags (host sets these between chunks)
     cert_mode: jax.Array  # bool
     cert_wait_until: jax.Array  # i32
+    # suppress the STALL-BASED infeasibility/unboundedness heuristics until
+    # this iteration (set by the host after a failed certificate search:
+    # an unproven declaration must not immediately re-fire)
+    infeas_block_until: jax.Array  # i32
     # host veto of an optimality declaration (check_dual_feas): suppress
     # re-declaring optimal until this iteration, so chunks keep amortizing
     # instead of degrading to one host dual_feas eigh per iteration
@@ -244,6 +248,7 @@ def init_state(
         warm=tuple(warm_vecs),
         cert_mode=np.bool_(False),
         cert_wait_until=np.int32(0),
+        infeas_block_until=np.int32(0),
         opt_block_until=np.int32(0),
         avg_x=z(n) if opts.restart == "adaptive" else z(0),
         avg_y=z(pm) if opts.restart == "adaptive" else z(0),
@@ -697,12 +702,16 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
     c_unb2 = stall100 & (jnp.abs(prim_k) > jnp.abs(dual_k)) & (
         feas_k <= opts.tol_feasibility
     )
-    # apply in reference order; first hit wins
+    # apply in reference order; first hit wins.  The objective-blowup
+    # branches (c_inf1/c_unb1) are strong signals and always fire; the
+    # stall-based heuristics are gated by infeas_block_until (a failed
+    # certificate search suppresses re-declaration for a window)
+    det_stall = det & (k >= s.infeas_block_until)
     status = jnp.where(det & c_inf1, 6, status)
     status = jnp.where(det & (status == 0) & c_unb1, 5, status)
-    status = jnp.where(det & (status == 0) & stalled_feas, 6, status)
-    status = jnp.where(det & (status == 0) & c_inf3, 6, status)
-    status = jnp.where(det & (status == 0) & c_unb2, 5, status)
+    status = jnp.where(det_stall & (status == 0) & stalled_feas, 6, status)
+    status = jnp.where(det_stall & (status == 0) & c_inf3, 6, status)
+    status = jnp.where(det_stall & (status == 0) & c_unb2, 5, status)
 
     # --- adaptive restart-to-average (PDLP-style; TPU-native extension,
     # no reference counterpart).  Every restart_window iterations the gap
@@ -1246,6 +1255,7 @@ def solve(
         "mode": 0,  # 0 none, 5/6 = the status being certified
         "found": False,
         "fail_reason": "",
+        "resume_state": None,  # host copy of the pre-certificate state
     }
     # stall windows are measured in ITERATIONS (chunk sizes adapt, so a
     # chunk count would make stall declarations chunk-size dependent —
@@ -1600,6 +1610,48 @@ def solve(
                 sc, state, setup, opts, cert_ctx["mode"]
             )
             if done:
+                if (
+                    not found
+                    and cert_ctx.get("resume_state") is not None
+                    and k < budget.max_iter
+                    and elapsed < budget.time_limit
+                ):
+                    # unproven declaration: the ray search came up empty
+                    # with budget remaining, so RESUME the original solve
+                    # from the pre-certificate iterate instead of returning
+                    # an unsubstantiated INFEASIBLE/UNBOUNDED (the
+                    # reference breaks out here; control-family instances
+                    # show the stall heuristic misfiring on hard-but-
+                    # feasible problems).  The stall-based detection is
+                    # suppressed for a window so it cannot immediately
+                    # re-fire.
+                    rs = cert_ctx["resume_state"]
+                    state = jax.tree_util.tree_map(jnp.asarray, rs)
+                    state = state._replace(
+                        iter=jnp.asarray(k, jnp.int32),
+                        status=jnp.asarray(0, jnp.int32),
+                        cert_mode=jnp.asarray(False),
+                        infeas_block_until=jnp.asarray(
+                            k + 2 * stall_window, jnp.int32
+                        ),
+                    )
+                    operands = make_operands(dtype)
+                    cert_ctx = {
+                        "snapshot": None,
+                        "mode": 0,
+                        "found": False,
+                        "fail_reason": "",
+                        "resume_state": None,
+                    }
+                    chunk_meas["skip_next"] = True
+                    chunk = min(chunk, chunk0)
+                    if opts.log_verbose:
+                        print(
+                            "  [cert] no ray found: resuming the solve "
+                            f"(detection suppressed until iter "
+                            f"{k + 2 * stall_window})"
+                        )
+                    continue
                 cert_ctx["found"] = found
                 final_status = cert_ctx["mode"]
                 status_string = STATUS_STRINGS[final_status] + (
@@ -1650,6 +1702,9 @@ def solve(
                     state, setup, opts, t0, status=st,
                     status_string=_declare_string(st, sc), equil=equil,
                 )
+                cert_ctx["resume_state"] = jax.tree_util.tree_map(
+                    np.asarray, state
+                )
                 operands, state, budget = _enter_certificate_mode(
                     st, operands, state, budget, opts, setup, dtype
                 )
@@ -1666,6 +1721,9 @@ def solve(
                 cert_ctx["snapshot"] = _cache_solution(
                     state, setup, opts, t0, status=lim_status,
                     status_string=lim_string, equil=equil,
+                )
+                cert_ctx["resume_state"] = jax.tree_util.tree_map(
+                    np.asarray, state
                 )
                 operands, state, budget = _enter_certificate_mode(
                     lim_status, operands, state, budget, opts, setup, dtype
@@ -1689,8 +1747,17 @@ def solve(
             break
 
         if k >= budget.hard_cap:
-            final_status = 3
-            status_string = f"Iteration limit of {budget.max_iter} was hit"
+            if cert_ctx["mode"] != 0:
+                # budget exhausted with a standing uncertified declaration:
+                # reference semantics — the declaration stands, annotated
+                final_status = cert_ctx["mode"]
+                status_string = (
+                    STATUS_STRINGS[final_status]
+                    + " [Failed to find certificate]"
+                )
+            else:
+                final_status = 3
+                status_string = f"Iteration limit of {budget.max_iter} was hit"
             break
 
     # ----- build result (reference pdhg.jl:486-529, cache_solution :745-787)

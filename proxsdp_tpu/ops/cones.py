@@ -264,6 +264,20 @@ def psd_projection_block(
                 # new warm basis: Ritz vectors, dominant first
                 return Xp, me, cur, W[:, ::-1], jnp.asarray(False)
 
+            if getattr(opt, "subspace_accept_always", False):
+                # batch/vmap mode: no dense-eigh fallback inside the
+                # program (under vmap lax.cond becomes select and would
+                # run the eigh for every instance every iteration — the
+                # very thing this mode exists to avoid, and the reason
+                # batched programs blow up the backend compiler at B>32).
+                # The reconstruction is applied unconditionally with a
+                # NaN guard; the worst relative residual rides sub_stats
+                # so the HOST can reseed stale bases between chunks.
+                Xp, me, cur, wv, uf = reconstruct(None)
+                bad = ~jnp.all(jnp.isfinite(Xp))
+                Xp = jnp.where(bad, X, Xp)
+                wv = jnp.where(bad, warm, wv)
+                return (Xp, me, cur, wv, uf | bad) + (stats,)
             out = jax.lax.cond(
                 conv_ok,
                 reconstruct,

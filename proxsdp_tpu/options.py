@@ -194,6 +194,13 @@ class Options:
     # parallel.sharded.solve_sharded; 0 = unsharded). Static: participates
     # in the compile cache key.
     tp_shards: int = 0
+    # Batch/vmap subspace mode: apply the subspace reconstruction
+    # unconditionally (NaN-guarded) instead of lax.cond-falling back to
+    # dense eigh — under vmap cond becomes select, and the vmapped eigh is
+    # both the per-iteration cost and the B>32 backend-compile blowup.
+    # The host reseeds stale bases between chunks (parallel/batch.py).
+    subspace_accept_always: bool = False
+
     # Iterations executed per jitted chunk between host syncs (time-limit /
     # logging checks live on the host between chunks).
     chunk_iters: int = 0  # 0 = auto (max(convergence_check, 50))

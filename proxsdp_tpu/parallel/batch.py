@@ -66,6 +66,59 @@ def _force_batch_options(opts: Options) -> Options:
     )
 
 
+def _reseed_batch(states, layout, k: int, mask, setups, c_np, opts):
+    """Host-side basis reseed for accept-always batch subspace mode.
+
+    For every instance i with mask[i]: eigh the PRE-projection matrix of
+    each subspace block (x - tau (M'y + c) — the matrix the projection
+    acts on; the projected iterate cannot reveal directions a too-small
+    basis is missing) and write the exact top-k eigenbasis into the warm
+    leaves; reset sub_worst.  Returns (states, r_max) with r_max the
+    largest observed positive rank (for bucket escalation).
+    """
+    from ..ops.tri import _maps as _tri_maps
+    from ..utils.vech import sympackedlen as _spl
+
+    x_np = np.asarray(states.x, np.float64)
+    mty_np = np.asarray(states.Mty, np.float64)
+    tau_np = np.asarray(states.primal_step, np.float64)
+    pre = x_np - tau_np[:, None] * (mty_np + c_np)
+    old_warm = [np.asarray(w) for w in states.warm]
+    mask = np.asarray(mask, bool).copy()
+    r_max = 0
+    B = x_np.shape[0]
+    warm = []
+    for bi, (off, side) in enumerate(
+        zip(layout.sdp_offsets, layout.sdp_sides)
+    ):
+        k_sub = int(min(k, side))
+        if not (0 < k_sub < side // 2):
+            warm.append(old_warm[bi])
+            continue
+        want = (B, side, k_sub)
+        if old_warm[bi].shape != want:
+            # bucket escalation: every basis must be rebuilt at the new k
+            mask[:] = True
+            w_new = np.zeros(want)
+        else:
+            w_new = old_warm[bi].copy()
+        tl = _spl(side)
+        gidx, in_scale, _, _ = _tri_maps(side)
+        for i in range(B):
+            if not mask[i]:
+                continue
+            Xm = (pre[i, off : off + tl][gidx] * in_scale).reshape(side, side)
+            w_, V = np.linalg.eigh(Xm)
+            r_max = max(r_max, int(np.sum(w_ > opts.tol_psd)))
+            w_new[i] = V[:, -k_sub:][:, ::-1]
+        warm.append(w_new)
+    new_warm = tuple(jnp.asarray(w, states.x.dtype) for w in warm)
+    sub_worst = jnp.where(
+        jnp.asarray(mask), jnp.zeros_like(states.sub_worst), states.sub_worst
+    )
+    return states._replace(warm=new_warm, sub_worst=sub_worst), r_max
+
+
 @functools.lru_cache(maxsize=32)
 def _cached_batch_runner_normalized(layout, opts: Options, m_kind: str):
     from ..ops.linop import DenseOp, EllOp
@@ -116,6 +169,7 @@ def _cached_batch_runner_normalized(layout, opts: Options, m_kind: str):
                 take(ss.buf_feas, i),
                 take(ss.buf_prim_obj, i),
                 take(ss.buf_dual_obj, i),
+                ss.sub_worst.astype(ft),
             ],
             axis=-1,
         )
@@ -236,6 +290,7 @@ def solve_batch(
     options: Options | None = None,
     mesh: jax.sharding.Mesh | None = None,
     batch_axis: str = "batch",
+    projection: str = "auto",
     **kwargs,
 ) -> list[Result]:
     """Solve a batch of same-geometry problems; optionally sharded over a
@@ -270,6 +325,23 @@ def solve_batch(
     phase_opts = opts.replace(dtype="float32") if hybrid else opts
     phase_dt = jnp.float32 if phase_opts.dtype == "float32" else jnp.float64
 
+    # ---- batch subspace mode ("projection"): replace the vmapped eigh
+    # with the accept-always subspace step + host-side basis reseeds
+    # between chunks.  The vmapped eigh is both the per-iteration cost
+    # and the B>32 backend-compile blowup (BASELINE.md); "auto" enables
+    # subspace for large sweeps with a subspace-eligible block.
+    from ..solver import _sub_bucket
+
+    sub_k = 0
+    if projection not in ("auto", "eigh", "subspace"):
+        raise ValueError(f"unknown projection mode {projection!r}")
+    want_sub = projection == "subspace" or (projection == "auto" and B > 32)
+    if want_sub and any(16 < side // 2 for side in layout.sdp_sides):
+        sub_k = 16  # starting bucket; reseeds escalate it as ranks appear
+        phase_opts = phase_opts.replace(
+            subspace_rank=sub_k, subspace_accept_always=True
+        )
+
     ops, m_kind = _batch_operands(setups, phase_dt)
     states = _stack_states([init_state(layout, phase_opts, s) for s in setups])
     tau0 = np.asarray(states.primal_step, np.float64).copy()
@@ -301,12 +373,68 @@ def solve_batch(
     states, ops = shard_tree(states, ops)
     run_chunk, fetch = _cached_batch_runner(layout, phase_opts, m_kind)
     budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
+
+    def maybe_reseed(states, sc, running, base_opts, dt_name):
+        """Host basis maintenance for subspace mode; returns (states,
+        runner_or_None).  A non-None runner means the bucket escalated and
+        the caller must switch programs."""
+        nonlocal sub_k
+        if not sub_k:
+            return states, None
+        worst = sc[:, 6]
+        need = running & (worst > max(10 * opts.subspace_tol, 1e-7))
+        if not need.any():
+            return states, None
+        c_np = np.stack([st.c for st in setups])
+        states, r_max = _reseed_batch(
+            states, layout, sub_k, need, setups, c_np, opts
+        )
+        k2 = _sub_bucket(r_max + opts.polish_subspace_guard)
+        if k2 != sub_k:
+            if k2 == 0 or not any(
+                k2 < side // 2 for side in layout.sdp_sides
+            ):
+                # rank outgrew every bucket: fall back to the eigh program
+                sub_k = 0
+                new_opts = base_opts.replace(
+                    subspace_rank=0, subspace_accept_always=False
+                )
+                states = states._replace(
+                    warm=tuple(
+                        jnp.asarray(np.asarray(w)[..., 0], states.x.dtype)
+                        if np.asarray(w).ndim == 3
+                        else w
+                        for w in states.warm
+                    )
+                )
+            else:
+                sub_k = k2
+                new_opts = base_opts.replace(subspace_rank=k2)
+                c_np = np.stack([st.c for st in setups])
+                states, _ = _reseed_batch(
+                    states, layout, sub_k, np.ones(B, bool), setups, c_np,
+                    opts,
+                )
+            return states, _cached_batch_runner(layout, new_opts, m_kind)
+        return states, None
     # on-device convergence logic -> large chunks are semantics-preserving
     chunk = opts.chunk_iters or (
         max(min(opts.log_freq, 1024), opts.convergence_check)
         if opts.log_verbose
         else 1024
     )
+
+    # subspace mode starts on random bases (the cold-start pre-projection
+    # matrix is identically zero, so there is nothing to eigh): keep the
+    # first chunk of each phase short so the first host reseed arrives
+    # before the junk bases can do damage
+    first_chunk = {"todo": bool(sub_k)}
+
+    def step_of(chunk):
+        if first_chunk["todo"]:
+            first_chunk["todo"] = False
+            return min(chunk, 128)
+        return chunk
 
     # ---- phase 1 (hybrid only): f32 race with per-instance stall tracking
     if hybrid:
@@ -320,12 +448,17 @@ def solve_batch(
             k0 = int(iters_now[run_mask].min()) if run_mask.any() else int(
                 iters_now.min()
             )
-            target = min(k0 + chunk, budget.max_iter)
+            target = min(k0 + step_of(chunk), budget.max_iter)
             ops = ops._replace(chunk_end=jnp.asarray(target, jnp.int32))
             states = run_chunk(states, ops)
             sc = np.asarray(fetch(states))
             iters = sc[:, 0].astype(int)
             status = sc[:, 1].astype(int)
+            states, new_runner = maybe_reseed(
+                states, sc, ~ready, phase_opts, "f32"
+            )
+            if new_runner is not None:
+                run_chunk, fetch = new_runner
             gap, feas = sc[:, 2], sc[:, 3]
             metric = np.maximum(gap, feas)
             improved = metric < best / 1.2
@@ -388,9 +521,33 @@ def solve_batch(
             )
         ops, m_kind = _batch_operands(setups, jnp.float64)
         states, ops = shard_tree(states, ops)
-        run_chunk, fetch = _cached_batch_runner(layout, opts, m_kind)
+        phase_opts = opts
+        if sub_k:
+            # f64 phase in subspace mode: re-estimate the bucket from the
+            # current iterates and seed exact bases before the first chunk
+            c_np = np.stack([st.c for st in setups])
+            states, r_max = _reseed_batch(
+                states, layout, sub_k, np.ones(B, bool), setups, c_np, opts
+            )
+            from ..solver import _sub_bucket as _sb
+
+            k2 = _sb(r_max + opts.polish_subspace_guard)
+            if k2 and k2 != sub_k and any(
+                k2 < side // 2 for side in layout.sdp_sides
+            ):
+                sub_k = k2
+                states, _ = _reseed_batch(
+                    states, layout, sub_k, np.ones(B, bool), setups, c_np,
+                    opts,
+                )
+            phase_opts = opts.replace(
+                subspace_rank=sub_k, subspace_accept_always=True
+            )
+        run_chunk, fetch = _cached_batch_runner(layout, phase_opts, m_kind)
 
     # ---- final phase: run in the target dtype until every instance stops
+    if not hybrid:
+        first_chunk["todo"] = bool(sub_k)
     while True:
         iters_now = np.asarray(states.iter)
         status_now = np.asarray(states.status)
@@ -398,7 +555,7 @@ def solve_batch(
         k0 = int(iters_now[running_mask].min()) if running_mask.any() else int(
             iters_now.min()
         )
-        target = min(k0 + chunk, budget.max_iter)
+        target = min(k0 + step_of(chunk), budget.max_iter)
         ops = ops._replace(chunk_end=jnp.asarray(target, jnp.int32))
         states = run_chunk(states, ops)
         sc = np.asarray(fetch(states))
@@ -406,6 +563,11 @@ def solve_batch(
         iters = sc[:, 0].astype(int)
         elapsed = time.time() - t0
         running = status == 0
+        states, new_runner = maybe_reseed(
+            states, sc, running, phase_opts, "f64"
+        )
+        if new_runner is not None:
+            run_chunk, fetch = new_runner
         if opts.log_verbose:
             print(
                 f"  [batch] iter>={iters.min()} done={int((~running).sum())}/{B} "

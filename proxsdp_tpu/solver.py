@@ -134,6 +134,10 @@ class State(NamedTuple):
     # [rnmax/scale, min_theta, npos]; zeros outside subspace mode (the
     # axon runtime has no debug callbacks, so diagnostics ride the state)
     sub_stats: jax.Array  # solve dtype, (3,)
+    # worst relative subspace residual over all blocks since the host
+    # last reset it (drives host-side basis reseeds in accept-always /
+    # batch mode, where there is no in-program eigh fallback)
+    sub_worst: jax.Array  # solve dtype scalar
 
 
 def _nblocks(layout: ConeLayout) -> int:
@@ -259,6 +263,7 @@ def init_state(
         last_restart_gap=dtype(np.inf),
         proj_fallbacks=np.int32(0),
         sub_stats=np.zeros(3, dtype),
+        sub_worst=dtype(0.0),
     )
 
 
@@ -353,6 +358,7 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
 
     any_full = None
     sub_stats = s.sub_stats
+    sub_worst = s.sub_worst
     for side, blks in sorted(by_side.items()):
         tl = sympackedlen(side)
         stacked = jnp.stack(
@@ -390,6 +396,7 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
         current_rank = current_rank.at[bi].set(res.current_rank)
         warm[bi] = res.warm
         any_full = res.used_full if any_full is None else (any_full | res.used_full)
+        sub_worst = jnp.maximum(sub_worst, res.sub_stats[0])
         if bi == 0:
             sub_stats = res.sub_stats
 
@@ -411,6 +418,7 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
         proj_fallbacks=s.proj_fallbacks
         + (any_full.astype(jnp.int32) if any_full is not None else 0),
         sub_stats=sub_stats,
+        sub_worst=sub_worst,
     )
 
 

@@ -200,3 +200,44 @@ class TestBatchCertificates:
         for r in res:
             assert r.status == 6
             assert not r.certificate_found
+
+
+class TestBatchSubspace:
+    """Batch subspace mode (projection='subspace'): the vmapped hot
+    program contains NO eigh — the accept-always subspace step runs every
+    iteration and the host reseeds stale bases between chunks.  This is
+    the B>32 scale path (the vmapped eigh is the axon backend-compile
+    blowup, BASELINE.md)."""
+
+    def test_matches_serial(self):
+        probs = [
+            maxcut_problem(random_graph_weights(s, 40))[0] for s in range(4)
+        ]
+        res = solve_batch(
+            probs, px.Options(max_iter=20000), projection="subspace"
+        )
+        for i, p in enumerate(probs):
+            ref = solve(p, px.Options())
+            assert res[i].status == 1
+            rel = abs(res[i].objval - ref.objval) / (1 + abs(ref.objval))
+            # both stop inside the relative-tolerance box; corners differ
+            assert rel < 2e-2, (i, res[i].objval, ref.objval)
+
+    def test_auto_mode_small_batch_uses_eigh(self):
+        # B <= 32 keeps the eigh program (subspace only pays off at scale)
+        from proxsdp_tpu.parallel import batch as pb
+
+        probs = [
+            maxcut_problem(random_graph_weights(s, 16))[0] for s in range(3)
+        ]
+        res = solve_batch(probs, px.Options(hybrid_precision=False))
+        assert all(r.status == 1 for r in res)
+
+    def test_explicit_eigh_mode(self):
+        probs = [
+            maxcut_problem(random_graph_weights(s, 40))[0] for s in range(3)
+        ]
+        r1 = solve_batch(
+            probs, px.Options(hybrid_precision=False), projection="eigh"
+        )
+        assert all(r.status == 1 for r in r1)

@@ -66,7 +66,7 @@ def _force_batch_options(opts: Options) -> Options:
     )
 
 
-def _reseed_batch(states, layout, k: int, mask, setups, c_np, opts):
+def _reseed_batch(states, layout, k: int, mask, c_np, opts):
     """Host-side basis reseed for accept-always batch subspace mode.
 
     For every instance i with mask[i]: eigh the PRE-projection matrix of
@@ -374,7 +374,7 @@ def solve_batch(
     run_chunk, fetch = _cached_batch_runner(layout, phase_opts, m_kind)
     budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
 
-    def maybe_reseed(states, sc, running, base_opts, dt_name):
+    def maybe_reseed(states, sc, running, base_opts):
         """Host basis maintenance for subspace mode; returns (states,
         runner_or_None).  A non-None runner means the bucket escalated and
         the caller must switch programs."""
@@ -387,7 +387,7 @@ def solve_batch(
             return states, None
         c_np = np.stack([st.c for st in setups])
         states, r_max = _reseed_batch(
-            states, layout, sub_k, need, setups, c_np, opts
+            states, layout, sub_k, need, c_np, opts
         )
         k2 = _sub_bucket(r_max + opts.polish_subspace_guard)
         if k2 != sub_k:
@@ -412,8 +412,7 @@ def solve_batch(
                 new_opts = base_opts.replace(subspace_rank=k2)
                 c_np = np.stack([st.c for st in setups])
                 states, _ = _reseed_batch(
-                    states, layout, sub_k, np.ones(B, bool), setups, c_np,
-                    opts,
+                    states, layout, sub_k, np.ones(B, bool), c_np, opts
                 )
             return states, _cached_batch_runner(layout, new_opts, m_kind)
         return states, None
@@ -454,9 +453,7 @@ def solve_batch(
             sc = np.asarray(fetch(states))
             iters = sc[:, 0].astype(int)
             status = sc[:, 1].astype(int)
-            states, new_runner = maybe_reseed(
-                states, sc, ~ready, phase_opts, "f32"
-            )
+            states, new_runner = maybe_reseed(states, sc, ~ready, phase_opts)
             if new_runner is not None:
                 run_chunk, fetch = new_runner
             gap, feas = sc[:, 2], sc[:, 3]
@@ -527,7 +524,7 @@ def solve_batch(
             # current iterates and seed exact bases before the first chunk
             c_np = np.stack([st.c for st in setups])
             states, r_max = _reseed_batch(
-                states, layout, sub_k, np.ones(B, bool), setups, c_np, opts
+                states, layout, sub_k, np.ones(B, bool), c_np, opts
             )
             from ..solver import _sub_bucket as _sb
 
@@ -537,8 +534,7 @@ def solve_batch(
             ):
                 sub_k = k2
                 states, _ = _reseed_batch(
-                    states, layout, sub_k, np.ones(B, bool), setups, c_np,
-                    opts,
+                    states, layout, sub_k, np.ones(B, bool), c_np, opts
                 )
             phase_opts = opts.replace(
                 subspace_rank=sub_k, subspace_accept_always=True
@@ -563,9 +559,7 @@ def solve_batch(
         iters = sc[:, 0].astype(int)
         elapsed = time.time() - t0
         running = status == 0
-        states, new_runner = maybe_reseed(
-            states, sc, running, phase_opts, "f64"
-        )
+        states, new_runner = maybe_reseed(states, sc, running, phase_opts)
         if new_runner is not None:
             run_chunk, fetch = new_runner
         if opts.log_verbose:

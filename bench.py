@@ -197,12 +197,52 @@ def bench_batch():
     print(json.dumps(out), flush=True)
 
 
+def _probe_backend(total_wait_s: float = 600.0) -> bool:
+    """True iff the default (TPU) backend answers.  Probed in a SUBPROCESS
+    because a downed axon tunnel makes jax.devices() hang indefinitely in-
+    process; retries cover transient outages (the worker has been observed
+    down for tens of minutes after repeated kernel faults)."""
+    import subprocess
+
+    deadline = time.time() + total_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        log("[probe] TPU backend unavailable; retrying...")
+        time.sleep(60)
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "batch":
         bench_batch()
         return
     name, path = find_instance()
     log(f"instance: {name}")
+    if not os.environ.get("BENCH_CPU_FALLBACK") and not _probe_backend():
+        # machine-wide TPU outage: fall back to CPU so the bench still
+        # reports an honest (if much slower) measurement rather than
+        # hanging the harness
+        log("[probe] TPU down after retries -> CPU fallback")
+        import subprocess
+
+        env = dict(os.environ)
+        env["PYTHONPATH"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        env["BENCH_CPU_FALLBACK"] = "1"
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+        raise SystemExit(r.returncode)
     import jax
 
     log(f"backend: {jax.default_backend()}")
@@ -216,6 +256,8 @@ def main():
         "unit": "iter/s",
         "vs_baseline": round(iters_per_s / proxy_ips, 3),
     }
+    if os.environ.get("BENCH_CPU_FALLBACK"):
+        out["unit"] = "iter/s (CPU fallback: TPU backend down)"
     log(
         f"[result] {iters_per_s:.1f} iter/s vs proxy {proxy_ips:.1f} iter/s; "
         f"time-to-gap {t_warm:.2f}s"

@@ -33,4 +33,9 @@ timeout 3000 python benchmarks/applications.py --set mini \
 # 6. batch-at-scale probe (B=32/64/128 with auto subspace)
 timeout 5400 python benchmarks/batch_compile_probe.py > /tmp/q_b128.log 2>&1
 
+# persist whatever completed into the repo so the round-end auto-commit
+# captures it even if this fires between sessions
+mkdir -p /root/repo/benchmarks/results/tpu_queue
+cp /tmp/q_*.csv /root/repo/benchmarks/results/tpu_queue/ 2>/dev/null
+cp /tmp/q_bench.log /root/repo/benchmarks/results/tpu_queue/ 2>/dev/null
 echo QUEUE_DONE

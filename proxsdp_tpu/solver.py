@@ -1325,18 +1325,36 @@ def solve(
             target = max(target, k0 + 1)
             ce = jnp.asarray(target, jnp.int32)
             t_chunk = time.time()
-            if phase32:
-                operands32 = operands32._replace(chunk_end=ce)
-                state = run_chunk32(state, operands32)
-                jax.block_until_ready(state.x)
-                timers["f32 loop"] += time.time() - t_chunk
-                chunk_counts["f32"] += 1
-            else:
-                operands = operands._replace(chunk_end=ce)
-                state = run_chunk(state, operands)
-                jax.block_until_ready(state.x)
-                timers["f64 loop"] += time.time() - t_chunk
-                chunk_counts["f64"] += 1
+            try:
+                if phase32:
+                    operands32 = operands32._replace(chunk_end=ce)
+                    state = run_chunk32(state, operands32)
+                    jax.block_until_ready(state.x)
+                    timers["f32 loop"] += time.time() - t_chunk
+                    chunk_counts["f32"] += 1
+                else:
+                    operands = operands._replace(chunk_end=ce)
+                    state = run_chunk(state, operands)
+                    jax.block_until_ready(state.x)
+                    timers["f64 loop"] += time.time() - t_chunk
+                    chunk_counts["f64"] += 1
+            except Exception as e:
+                if type(e).__name__ == "JaxRuntimeError":
+                    # a TPU worker fault poisons the whole process: no
+                    # in-process retry is possible, so fail with context
+                    # (iteration, phase, chunk) instead of a bare
+                    # UNAVAILABLE from deep inside jax
+                    raise RuntimeError(
+                        f"TPU worker fault at iter {k0} "
+                        f"(phase={'f32' if phase32 else 'f64'}, "
+                        f"chunk={target - k0}). The process can no longer "
+                        "use the device; re-run in a fresh process. If this "
+                        "recurs at the same point, suspect a poisoned "
+                        "compile-cache entry (set PROXSDP_TPU_COMPILE_CACHE "
+                        "to a fresh dir) or a single execution exceeding "
+                        "the worker deadline (lower chunk_iters)."
+                    ) from e
+                raise
             dt_chunk = time.time() - t_chunk
             ran = target - k0
             if chunk_meas["skip_next"]:

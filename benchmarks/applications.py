@@ -79,24 +79,44 @@ def main():
         jobs = [("randsdp", dict(seed=0, n=10, m=10)),
                 ("sensorloc", dict(seed=0, n=50))]
     else:
+        # the reference's full runbench sweep (test/runbench.jl:102-116):
+        # RANDSDP 5x5, SENSORLOC n in 100..400, MIMO n in {100,500,1000}
         jobs = (
             [("randsdp", dict(seed=s, n=5, m=5)) for s in range(1)]
-            + [("sensorloc", dict(seed=0, n=n)) for n in (100, 200)]
-            + [("mimo", dict(seed=0, n=n)) for n in (100, 500)]
+            + [("sensorloc", dict(seed=0, n=n)) for n in (100, 200, 300, 400)]
+            + [("mimo", dict(seed=0, n=n)) for n in (100, 500, 1000)]
         )
+
+    import subprocess
+
+    import jax
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(__file__)) or ".",
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
 
     rows = []
     for fam, kw in jobs:
-        if fam == "mimo":
-            res, dt, extra = run_mimo(kw["seed"], kw["n"], opts)
-        elif fam == "sensorloc":
-            res, dt, extra = run_sensorloc(kw["seed"], kw["n"], opts)
-        else:
-            res, dt, extra = run_randsdp(kw["seed"], kw["n"], kw["m"], opts)
+        try:
+            if fam == "mimo":
+                res, dt, extra = run_mimo(kw["seed"], kw["n"], opts)
+            elif fam == "sensorloc":
+                res, dt, extra = run_sensorloc(kw["seed"], kw["n"], opts)
+            else:
+                res, dt, extra = run_randsdp(kw["seed"], kw["n"], kw["m"], opts)
+        except Exception as e:  # TPU worker faults: log and continue
+            print(f"{fam} {kw}: CRASH {type(e).__name__}: {e}", flush=True)
+            continue
         row = dict(
             family=fam, params=str(kw), status=res.status,
             time_s=round(dt, 2), obj=round(res.objval, 6),
             gap=f"{res.gap:.2e}", rank=res.final_rank, iters=res.iter,
+            backend=jax.default_backend(), commit=commit,
             **extra,
         )
         rows.append(row)
@@ -105,6 +125,10 @@ def main():
             f"gap={res.gap:.1e} rank={res.final_rank} {extra}",
             flush=True,
         )
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
 
     keys = sorted({k for r in rows for k in r}, key=lambda s: s != "family")
     with open(args.out, "w", newline="") as f:

@@ -177,9 +177,21 @@ def main():
     from proxsdp_tpu.models.sdplib import sdplib_problem
     from proxsdp_tpu.solver import solve
 
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(__file__)) or ".",
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+    backend = jax.default_backend()
+
     fieldnames = [
         "instance", "status", "time_s", "obj", "published", "rel_err",
-        "rank", "iters", "lin_viol", "psd_viol",
+        "rank", "iters", "lin_viol", "psd_viol", "backend", "commit",
     ]
     out_f = open(args.out, "w", newline="")
     writer = csv.DictWriter(out_f, fieldnames=fieldnames)
@@ -232,6 +244,8 @@ def main():
                 iters=res.iter,
                 lin_viol=f"{lin:.2e}",
                 psd_viol=f"{psd:.2e}",
+                backend=backend,
+                commit=commit,
             )
         )
         writer.writerow(rows[-1])

@@ -25,10 +25,95 @@ from typing import NamedTuple
 
 import numpy as np
 
+from .utils.vech import sympackedlen
+
 
 class Equilibration(NamedTuple):
     E: np.ndarray  # row scaling (p+m,)
     D: np.ndarray  # column scaling (n,)
+
+
+def block_equilibrate_host(setup, opts):
+    """Cone-safe Ruiz equilibration (TPU-native extension, no reference
+    counterpart; ROADMAP §3).
+
+    Classic Ruiz alternates row/column inf-norm scalings, but an
+    arbitrary per-column D is invalid for conic variables: the solver
+    would project onto K while the preconditioned problem needs
+    D^{-1}K.  This variant restricts D to be UNIFORM WITHIN EACH CONE
+    BLOCK — X -> aX preserves PSD-ness and (t,v) -> a(t,v) preserves the
+    SOC — while free variables scale individually and rows (E) scale
+    freely.  Targets problems whose constraint-row norms span decades
+    (SDPLIB arch/control), where the reference's scalar-D scheme
+    (equilibrate!'s column-mean collapse, equilibration.jl:56-58) cannot
+    help.
+
+    Mutates ``setup`` like :func:`equilibrate_host` and returns the same
+    :class:`Equilibration` (the solver's undo path is shared).  Norms
+    ``norm_b/h/c`` are recomputed post-scaling so relative residuals
+    measure the problem the device actually solves.
+    """
+    import scipy.sparse as sp
+
+    from .ops.linop import stack_vertical
+
+    M = stack_vertical(setup.A, setup.G)
+    pm, n = M.shape
+    if pm == 0 or n == 0:
+        return None
+    Ms = sp.csr_matrix(M, dtype=np.float64)
+
+    layout = setup.layout
+    # block id per column: PSD blocks, then SOC blocks, then free vars
+    # (free vars get singleton blocks = unrestricted scaling)
+    block_of = np.zeros(n, np.int64)
+    nb = 0
+    pos = 0
+    for t in (sympackedlen(s) for s in layout.sdp_sides):
+        block_of[pos:pos + t] = nb
+        nb += 1
+        pos += t
+    for ln in layout.soc_lens:
+        block_of[pos:pos + ln] = nb
+        nb += 1
+        pos += ln
+    for i in range(pos, n):
+        block_of[i] = nb
+        nb += 1
+
+    E = np.ones(pm)
+    D = np.ones(n)
+    for _ in range(max(int(opts.block_equilibration_iters), 1)):
+        S = sp.diags(E) @ Ms @ sp.diags(D)
+        Sa = abs(S)
+        r = np.asarray(Sa.max(axis=1).todense()).ravel()
+        r[r == 0] = 1.0
+        E /= np.sqrt(r)
+        c = np.asarray(Sa.max(axis=0).todense()).ravel()
+        # cone-safety: one factor per block (the block's max column norm)
+        cb = np.zeros(nb)
+        np.maximum.at(cb, block_of, c)
+        cb[cb == 0] = 1.0
+        D /= np.sqrt(cb[block_of])
+
+    lb, ub = np.exp(opts.equilibration_lb), np.exp(opts.equilibration_ub)
+    np.clip(E, lb, ub, out=E)
+    np.clip(D, lb, ub, out=D)
+
+    p_ = layout.p
+    if sp.issparse(setup.A):
+        setup.A = (sp.diags(E[:p_]) @ setup.A @ sp.diags(D)).tocsc()
+        setup.G = (sp.diags(E[p_:]) @ setup.G @ sp.diags(D)).tocsc()
+    else:
+        setup.A = E[:p_, None] * setup.A * D[None, :]
+        setup.G = E[p_:, None] * setup.G * D[None, :]
+    setup.b = E[:p_] * setup.b
+    setup.h = E[p_:] * setup.h
+    setup.c = D * setup.c
+    setup.norm_b = float(np.linalg.norm(setup.b)) if setup.b.size else 0.0
+    setup.norm_h = float(np.linalg.norm(setup.h)) if setup.h.size else 0.0
+    setup.norm_c = float(np.linalg.norm(setup.c)) if setup.c.size else 0.0
+    return Equilibration(E=E, D=D)
 
 
 def equilibrate_host(setup, opts):

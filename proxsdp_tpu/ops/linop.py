@@ -167,6 +167,46 @@ def _build_ell(rows, cols, vals, nrows, ncols, dtype, max_width=32):
     )
 
 
+def shard_linop(op, mesh, axis: str):
+    """Lay the operator out over the mesh's tensor-parallel axis.
+
+    The reference applies M with single-process BLAS/CSC ``mul!``
+    (src/pdhg.jl:140-141,556,603,634); the TPU-native equivalent under TP
+    is to shard the operator's storage so matvec/rmatvec — and the
+    linesearch norms computed from their outputs (pdhg.jl:562-566) —
+    distribute over the mesh with GSPMD-inserted collectives:
+
+    * ``DenseOp``: column-sharded (the n-sized variable axis).  ``M @ x``
+      contracts over the sharded axis (partial products + psum);
+      ``M' y`` emits an n-vector sharded the same way, so the
+      linesearch's ``||M'(y - y_old)||`` becomes a sharded reduction.
+    * ``EllOp``: row tables sharded over constraint rows, column tables
+      over the n-sized variable axis — gather+reduce work splits R/ncols
+      ways and the products' outputs stay sharded.
+    * ``CooOp``: returned unchanged (scatter/segment-sum layouts do not
+      distribute profitably; COO is only chosen for degenerate
+      geometries — see build_linop).
+
+    Uses device_put (committed layout), so the operands enter the jitted
+    loop already distributed instead of being re-laid-out per chunk.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(arr, spec):
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    if isinstance(op, DenseOp):
+        return DenseOp(put(op.mat, P(None, axis)))
+    if isinstance(op, EllOp):
+        return EllOp(
+            put(op.row_cols, P(axis, None)),
+            put(op.row_vals, P(axis, None)),
+            put(op.col_rows, P(axis, None)),
+            put(op.col_vals, P(axis, None)),
+        )
+    return op
+
+
 def _to_coo(M):
     if _sp is not None and _sp.issparse(M):
         coo = M.tocoo()

@@ -170,6 +170,13 @@ class Options:
     equilibration_ub: float = +10.0
     equilibration_limit: float = 0.9
     equilibration_force: bool = False
+    # cone-safe block Ruiz equilibration (TPU-native extension; see
+    # equilibration.block_equilibrate_host): rows scale freely, columns
+    # uniformly per cone block.  For problems whose constraint-row norms
+    # span decades (SDPLIB arch/control).  Takes precedence over
+    # `equilibration` when set.
+    block_equilibration: bool = False
+    block_equilibration_iters: int = 10
 
     # spectral norm: True = Frobenius upper bound (deterministic, default);
     # False = power-iteration 2-norm (reference uses ARPACK svds here)

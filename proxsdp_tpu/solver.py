@@ -103,8 +103,13 @@ class State(NamedTuple):
     max_soc_gap: jax.Array
     # Lanczos warm-start vectors, one per PSD block (tuple of (side,) arrays)
     warm: tuple
-    # certificate-search flags (host sets these between chunks)
-    cert_mode: jax.Array  # bool
+    # certificate-search flags (host sets these between chunks):
+    # cert_kind = 0 none, 6 = infeasibility (dual ray), 5 = unboundedness
+    # (primal ray).  The kind rides the state so the PRIMAL-ray check can
+    # run on-device at iteration granularity (status 7) — the unbounded
+    # iterate grows geometrically and overflows within one chunk, so a
+    # chunk-granular host check misses the certificate window.
+    cert_kind: jax.Array  # i32
     cert_wait_until: jax.Array  # i32
     # suppress the STALL-BASED infeasibility/unboundedness heuristics until
     # this iteration (set by the host after a failed certificate search:
@@ -250,7 +255,7 @@ def init_state(
         ineq_feas=dtype(0.0),
         max_soc_gap=dtype(-np.inf),
         warm=tuple(warm_vecs),
-        cert_mode=np.bool_(False),
+        cert_kind=np.int32(0),
         cert_wait_until=np.int32(0),
         infeas_block_until=np.int32(0),
         opt_block_until=np.int32(0),
@@ -606,7 +611,7 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
     comb_back = s.buf_comb[(k - w - 1) % L]
 
     # in certificate mode nothing below runs until the wait expires
-    active = ~(s.cert_mode & (k < s.cert_wait_until))
+    active = ~((s.cert_kind != 0) & (k < s.cert_wait_until))
 
     rank_update = s.rank_update + jnp.where(active, 1, 0)
 
@@ -688,7 +693,7 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
     adapt_level = jnp.where(fire3 | fire4, al * opts.adapt_decay, al)
 
     # --- in-loop infeasibility/unboundedness detection (not in cert mode)
-    det = active & ~s.cert_mode & (status == 0)
+    det = active & (s.cert_kind == 0) & (status == 0)
     isnan = jnp.isnan
     after_min = k > opts.min_iter_max_obj
     c_inf1 = (after_min & (dual_k > opts.max_obj)) | isnan(dual_k)
@@ -721,6 +726,25 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
     status = jnp.where(det_stall & (status == 0) & c_inf3, 6, status)
     status = jnp.where(det_stall & (status == 0) & c_unb2, 5, status)
 
+    # --- in-search PRIMAL-ray detection (unboundedness certificate,
+    # reference pdhg.jl:208-226).  Runs per-iteration on-device: along a
+    # primal ray the objective grows geometrically (linesearch keeps
+    # extending tau), so a chunk-granular host check overflows to NaN
+    # before it ever sees the window.  Scale-invariant form: the
+    # feasibility violation is measured per unit of objective magnitude.
+    # Status 7 is internal — the host maps it to "[Primal ray found]".
+    # NOT gated by the wait: the scale-invariant condition is
+    # self-validating (||Ax|| small per unit of |c'x| with x in the cone
+    # IS a recession direction), and on objective-blowup declarations the
+    # ray is already present at search entry — waiting lets it overflow.
+    ray5 = (
+        (s.cert_kind == 5)
+        & (status == 0)
+        & (prim_k < -opts.certificate_obj_tol)
+        & (feas_k < opts.tol_feasibility * jnp.maximum(jnp.abs(prim_k), 1.0))
+    )
+    status = jnp.where(ray5, 7, status)
+
     # --- adaptive restart-to-average (PDLP-style; TPU-native extension,
     # no reference counterpart).  Every restart_window iterations the gap
     # is compared against the last epoch: if it failed to shrink by
@@ -739,7 +763,7 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
         epoch = (
             active
             & (status == 0)
-            & ~s.cert_mode
+            & (s.cert_kind == 0)
             & ((k - s.last_restart_iter) >= opts.restart_window)
         )
         stalled = (
@@ -1120,13 +1144,25 @@ def solve(
     # optional diagonal preconditioning (reference pdhg.jl:64-92); mutates
     # setup.A/G/b/h/c before the operator and step sizes are built
     equil = None
-    if opts.equilibration or opts.equilibration_force:
+    if opts.block_equilibration:
+        from .equilibration import block_equilibrate_host
+
+        equil = block_equilibrate_host(setup, opts)
+    elif opts.equilibration or opts.equilibration_force:
         equil = equilibrate_host(setup, opts)
 
     def make_operands(dt):
         force = None if opts.linop == "auto" else opts.linop
+        M = build_linop(setup.A, setup.G, dt, force=force)
+        if opts.tp_shards > 0:
+            from .ops.linop import shard_linop
+            from .parallel.sharded import current_tp_mesh
+
+            ctx = current_tp_mesh()
+            if ctx is not None:
+                M = shard_linop(M, *ctx)
         return Operands(
-            M=build_linop(setup.A, setup.G, dt, force=force),
+            M=M,
             b=jnp.asarray(setup.b, dt),
             h=jnp.asarray(setup.h, dt),
             c=jnp.asarray(setup.c, dt),
@@ -1264,6 +1300,7 @@ def solve(
         "found": False,
         "fail_reason": "",
         "resume_state": None,  # host copy of the pre-certificate state
+        "entries": 0,  # searches started (capped: _MAX_CERT_SEARCHES)
     }
     # stall windows are measured in ITERATIONS (chunk sizes adapt, so a
     # chunk count would make stall declarations chunk-size dependent —
@@ -1631,14 +1668,20 @@ def solve(
                         )
 
         # ----- certificate-search monitoring (reference pdhg.jl:184-244)
-        if in_cert and k >= int(state.cert_wait_until):
+        if in_cert and (k >= int(state.cert_wait_until) or st == 7):
             done, found, fail = _check_certificate(
-                sc, state, setup, opts, cert_ctx["mode"]
+                sc, state, setup, opts, cert_ctx["mode"], st
             )
-            if done:
+            # st == 1 here means the MODIFIED problem converged (c=0 for an
+            # infeasibility search): a feasible point of the original
+            # constraints was found, so the INFEASIBLE declaration was
+            # wrong — treat it like a failed search (reference returns
+            # "[Failed to find certificate - type 2]", pdhg.jl keeps 5/6).
+            if done or st == 1:
                 if (
                     not found
                     and cert_ctx.get("resume_state") is not None
+                    and cert_ctx["entries"] < _MAX_CERT_SEARCHES
                     and k < budget.max_iter
                     and elapsed < budget.time_limit
                 ):
@@ -1656,7 +1699,7 @@ def solve(
                     state = state._replace(
                         iter=jnp.asarray(k, jnp.int32),
                         status=jnp.asarray(0, jnp.int32),
-                        cert_mode=jnp.asarray(False),
+                        cert_kind=jnp.asarray(0, jnp.int32),
                         infeas_block_until=jnp.asarray(
                             k + 2 * stall_window, jnp.int32
                         ),
@@ -1668,6 +1711,7 @@ def solve(
                         "found": False,
                         "fail_reason": "",
                         "resume_state": None,
+                        "entries": cert_ctx["entries"],
                     }
                     chunk_meas["skip_next"] = True
                     chunk = min(chunk, chunk0)
@@ -1679,20 +1723,16 @@ def solve(
                         )
                     continue
                 cert_ctx["found"] = found
-                final_status = cert_ctx["mode"]
-                status_string = STATUS_STRINGS[final_status] + (
-                    " [Dual ray found]" if (found and final_status == 6)
-                    else " [Primal ray found]" if found
-                    else " [Failed to find certificate]"
-                )
-                break
-            if st == 1:
-                # converged while searching: "failed to find certificate - 2"
-                final_status = cert_ctx["mode"]
-                status_string = (
-                    STATUS_STRINGS[final_status]
-                    + " [Failed to find certificate - type 2]"
-                )
+                if found:
+                    final_status = cert_ctx["mode"]
+                    status_string = STATUS_STRINGS[final_status] + (
+                        " [Dual ray found]" if final_status == 6
+                        else " [Primal ray found]"
+                    )
+                else:
+                    final_status, status_string = _unproven_status(
+                        budget, k, cert_ctx["mode"]
+                    )
                 break
 
         # ----- normal termination
@@ -1724,6 +1764,14 @@ def solve(
 
         if st in (5, 6) and not in_cert:
             if opts.certificate_search:
+                if cert_ctx["entries"] >= _MAX_CERT_SEARCHES:
+                    # search budget exhausted across resumes: declaration
+                    # remains unproven — demote (see _unproven_status)
+                    final_status, status_string = _unproven_status(
+                        budget, k, st
+                    )
+                    cert_ctx["mode"] = 0  # result from the CURRENT iterate
+                    break
                 cert_ctx["snapshot"] = _cache_solution(
                     state, setup, opts, t0, status=st,
                     status_string=_declare_string(st, sc), equil=equil,
@@ -1735,6 +1783,7 @@ def solve(
                     st, operands, state, budget, opts, setup, dtype
                 )
                 cert_ctx["mode"] = st
+                cert_ctx["entries"] += 1
                 continue
             final_status = st
             status_string = _declare_string(st, sc)
@@ -1742,8 +1791,20 @@ def solve(
 
         # ----- iteration / time limits (reference pdhg.jl:335-382)
         if st == 0 and (k >= budget.max_iter or elapsed >= budget.time_limit):
+            if in_cert:
+                # certificate-search budget ran out without a ray: the
+                # declaration is unproven — demote (see _unproven_status)
+                final_status, status_string = _unproven_status(
+                    budget, k, cert_ctx["mode"]
+                )
+                break
             lim_status, lim_string = _limit_status(sc, state, opts, budget, k, elapsed)
-            if lim_status in (5, 6) and opts.certificate_search and not in_cert:
+            if (
+                lim_status in (5, 6)
+                and opts.certificate_search
+                and not in_cert
+                and cert_ctx["entries"] < _MAX_CERT_SEARCHES
+            ):
                 cert_ctx["snapshot"] = _cache_solution(
                     state, setup, opts, t0, status=lim_status,
                     status_string=lim_string, equil=equil,
@@ -1755,7 +1816,16 @@ def solve(
                     lim_status, operands, state, budget, opts, setup, dtype
                 )
                 cert_ctx["mode"] = lim_status
+                cert_ctx["entries"] += 1
                 continue
+            if lim_status in (5, 6):
+                # uncertifiable (searches exhausted or disabled-by-cap):
+                # never return an unproven INFEASIBLE/UNBOUNDED
+                if opts.certificate_search:
+                    final_status, status_string = _unproven_status(
+                        budget, k, lim_status
+                    )
+                    break
             final_status = lim_status
             status_string = lim_string
             if opts.warn_on_limit and lim_status in (2, 3):
@@ -1766,20 +1836,17 @@ def solve(
             break
 
         if in_cert and (k >= budget.hard_cap or elapsed >= budget.time_limit):
-            final_status = cert_ctx["mode"]
-            status_string = (
-                STATUS_STRINGS[final_status] + " [Failed to find certificate]"
+            final_status, status_string = _unproven_status(
+                budget, k, cert_ctx["mode"]
             )
             break
 
         if k >= budget.hard_cap:
             if cert_ctx["mode"] != 0:
                 # budget exhausted with a standing uncertified declaration:
-                # reference semantics — the declaration stands, annotated
-                final_status = cert_ctx["mode"]
-                status_string = (
-                    STATUS_STRINGS[final_status]
-                    + " [Failed to find certificate]"
+                # demote it (see _unproven_status)
+                final_status, status_string = _unproven_status(
+                    budget, k, cert_ctx["mode"]
                 )
             else:
                 final_status = 3
@@ -1799,7 +1866,10 @@ def solve(
                 equil=equil,
             )
         else:
+            # no ray: return the cached best solution under the demoted
+            # limit status (never an unproven INFEASIBLE/UNBOUNDED)
             res = cert_ctx["snapshot"]
+            res.status = final_status
             res.status_string = status_string or res.status_string
             res.time = time.time() - t0
     else:
@@ -1862,6 +1932,36 @@ def _declare_string(st, sc):
     return f"Infeasible: detected during iteration (dual objective {sc['dual_obj']:.3e})"
 
 
+# Maximum certificate searches per solve.  The reference enters a search
+# at most once (pdhg.jl gates on !p.certificate_search); we additionally
+# RESUME the solve after a failed search (an unproven declaration on a
+# hard-but-feasible problem should not end it), so without a cap a
+# declare->search->fail->resume->redeclare cycle could extend budgets
+# forever.  Three searches bound the overhead at roughly one extra solve.
+_MAX_CERT_SEARCHES = 3
+
+
+def _unproven_status(budget: _Budget, k: int, mode: int):
+    """Demote an uncertified INFEASIBLE/UNBOUNDED declaration to a limit
+    status.
+
+    Documented deviation from the reference: pdhg.jl keeps stop_reason 5/6
+    with a "[Failed to find certificate]" annotation when the ray search
+    comes up empty (pdhg.jl:228-244,508-521).  On hard-but-feasible
+    problems (SDPLIB control*/truss*) the stall heuristics misfire and that
+    behavior reports a feasible problem as INFEASIBLE.  A declaration
+    without a Farkas ray is a suspicion, not a proof — so once every
+    search budget is exhausted we return the cached best solution under
+    TIME_LIMIT/ITERATION_LIMIT with the suspicion recorded in the status
+    string.  Certified declarations (ray found) are unaffected."""
+    lim = 3 if k >= budget.max_iter else 2
+    suspected = "infeasible" if mode == 6 else "unbounded"
+    return lim, (
+        STATUS_STRINGS[lim]
+        + f" [Suspected {suspected}: no certificate found]"
+    )
+
+
 def _limit_status(sc, state, opts: Options, budget: _Budget, k: int, elapsed: float):
     """Limit-time infeasibility heuristics (reference pdhg.jl:335-378)."""
     buf_gap = np.asarray(state.buf_gap)
@@ -1886,36 +1986,78 @@ def _enter_certificate_mode(st, operands, state, budget, opts, setup, dtype):
     pdhg.jl:639-676).  Same shapes -> the compiled loop is reused."""
     if st == 6:
         operands = operands._replace(c=jnp.zeros_like(operands.c))
+        # a blowup-declared infeasibility enters with an enormous dual
+        # iterate; rays are directions, so renormalize the dual side to
+        # keep the search finite (the pre-search state is snapshotted by
+        # the caller, nothing is lost)
+        scale = max(1.0, float(np.abs(np.asarray(state.y)).max()))
+        if scale > 1e3:
+            inv = jnp.asarray(1.0 / scale, state.y.dtype)
+            state = state._replace(
+                y=state.y * inv, y_old=state.y_old * inv,
+                Mty=state.Mty * inv, Mty_old=state.Mty_old * inv,
+                avg_y=state.avg_y * inv, avg_Mty=state.avg_Mty * inv,
+            )
     else:
         operands = operands._replace(
             b=jnp.zeros_like(operands.b), h=jnp.zeros_like(operands.h)
         )
+        # same for the primal side on unboundedness declarations
+        scale = max(1.0, float(np.abs(np.asarray(state.x)).max()))
+        if scale > 1e3:
+            inv = jnp.asarray(1.0 / scale, state.x.dtype)
+            state = state._replace(
+                x=state.x * inv, x_old=state.x_old * inv,
+                Mx=state.Mx * inv, Mx_old=state.Mx_old * inv,
+                avg_x=state.avg_x * inv, avg_Mx=state.avg_Mx * inv,
+            )
     k = int(state.iter)
     wait = k + 2 * opts.convergence_window + k // 5 + 1000
     state = state._replace(
-        cert_mode=jnp.asarray(True),
+        cert_kind=jnp.asarray(st, jnp.int32),
         cert_wait_until=jnp.asarray(wait, jnp.int32),
         status=jnp.asarray(0, jnp.int32),
     )
     budget.time_limit *= 1.1
-    budget.max_iter += budget.max_iter // 10
+    # reference grants +10% iterations (pdhg.jl:674), but when the
+    # declaration happens AT the iteration limit that extension can be
+    # smaller than the monitoring wait above — the ray check would never
+    # run and a certifiable infeasibility would be demoted to a limit
+    # status.  Guarantee the search at least reaches its window plus a
+    # margin to converge onto the ray.
+    budget.max_iter = max(
+        budget.max_iter + budget.max_iter // 10,
+        wait + 2 * opts.convergence_window + 2000,
+    )
     budget.hard_cap = max(budget.hard_cap, budget.max_iter + k)
     return operands, state, budget
 
 
-def _check_certificate(sc, state, setup, opts: Options, mode: int):
+def _check_certificate(sc, state, setup, opts: Options, mode: int, st: int = 0):
     """Host-side ray checks (reference pdhg.jl:184-244).
 
     Returns (done, found, fail_string)."""
+    if mode == 5 and st == 7:
+        # on-device per-iteration primal-ray detection fired (the iterate
+        # was still finite at the moment the scale-invariant check held)
+        return True, True, ""
+    # Farkas rays are directions: the iterate grows without bound along
+    # the ray, so feasibility-of-the-certificate must be checked on the
+    # NORMALIZED candidate (violation per unit of certificate strength).
+    # The reference checks absolutely (pdhg.jl:191-194), which only
+    # certifies when the ray happens to pass near magnitude ~1; on LPs the
+    # dual blows up to 1e2-1e3 before the window opens and the absolute
+    # check can never fire again.
     if mode == 6:
         if sc["dual_obj"] > opts.certificate_obj_tol:
             y = np.asarray(state.y, np.float64) * setup.obj_scale
-            dfeas = _dual_feas_host(y, setup, 0.0 * setup.c_orig)
+            y_hat = y / max(sc["dual_obj"], 1.0)
+            dfeas = _dual_feas_host(y_hat, setup, 0.0 * setup.c_orig)
             if dfeas < opts.tol_feasibility_dual:
                 return True, True, ""
     else:  # mode == 5 (unbounded): look for a primal ray
         if sc["prim_obj"] < -opts.certificate_obj_tol and (
-            sc["feas"] < opts.tol_feasibility
+            sc["feas"] / max(abs(sc["prim_obj"]), 1.0) < opts.tol_feasibility
         ):
             return True, True, ""
     ft = opts.certificate_fail_tol

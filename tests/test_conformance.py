@@ -659,3 +659,94 @@ class TestCvxpyInterface:
         if hasattr(val, "objval"):  # schema-fallback path
             val = val.objval
         assert abs(val - target) < 0.05
+
+    # ------------------------------------------------------------------
+    # cvxpy is not installable in this image (no network egress), so the
+    # adapter's full code path runs against tests/_fake_cvxpy.py — a
+    # stand-in matching cvxpy 1.4's SCS ConicSolver schema exactly
+    # (get_problem_data/ConeDims/Solution/unpack_results).  These become
+    # redundant-but-harmless when real cvxpy is present.
+    # ------------------------------------------------------------------
+
+    def test_fake_maxcut_value_and_unpack(self, monkeypatch):
+        from tests import _fake_cvxpy as fc
+
+        fc.install(monkeypatch)
+        from proxsdp_tpu.cvxpy_interface import solve_cvxpy_problem
+
+        W = np.array(
+            [[18.0, -5, -7, -6], [-5, 6, 0, -1], [-7, 0, 8, -1],
+             [-6, -1, -1, 8]]
+        )
+        prob, tri = fc.maxcut_scs_problem(W)
+        val = solve_cvxpy_problem(prob, tol_gap=1e-5, tol_feasibility=1e-5)
+        assert abs(val - 18.0) < 0.05
+        # the Solution handed through unpack_results carries the primal
+        # in SCS packing: unscale and check diag(X) = 1, X PSD
+        raw = prob.unpacked
+        assert raw.status == "optimal"
+        x = raw.primal_vars["x"]
+        X = np.zeros((4, 4))
+        for k, (i, j) in enumerate(tri):
+            v = x[k] if i == j else x[k] / np.sqrt(2.0)
+            X[i, j] = X[j, i] = v
+        assert np.allclose(np.diag(X), 1.0, atol=1e-3)
+        # reference's own PSD-ness criterion: no eigenvalue < -1e-4
+        # (moi_sdplib.jl:53-56)
+        assert np.linalg.eigvalsh(X).min() > -1e-4
+        assert raw.attr["num_iters"] > 0
+
+    def test_fake_lp_dual_values(self, monkeypatch):
+        from tests import _fake_cvxpy as fc
+
+        fc.install(monkeypatch)
+        from proxsdp_tpu.cvxpy_interface import solve_cvxpy_problem
+        from proxsdp_tpu.ingest import solve_cone_program
+
+        prob = fc.bounded_lp_scs_problem()
+        val = solve_cvxpy_problem(prob, tol_gap=1e-6, tol_feasibility=1e-6)
+        assert abs(val - 1.0) < 1e-3
+        # dual of (x >= 1) at min x is 1; adapter duals must equal the
+        # direct solve_cone_program duals it wraps
+        y = prob.unpacked.dual_vars["y"]
+        assert abs(y[0] - 1.0) < 1e-3
+        sol = solve_cone_program(
+            prob._data["c"], prob._data["A"], prob._data["b"],
+            dict(l=1), tol_gap=1e-6, tol_feasibility=1e-6,
+        )
+        assert np.allclose(y, sol.y, atol=1e-6)
+
+    def test_fake_soc(self, monkeypatch):
+        from tests import _fake_cvxpy as fc
+
+        fc.install(monkeypatch)
+        from proxsdp_tpu.cvxpy_interface import solve_cvxpy_problem
+
+        prob = fc.soc_scs_problem()
+        val = solve_cvxpy_problem(prob, tol_gap=1e-6, tol_feasibility=1e-6)
+        assert abs(val - 5.0) < 1e-3
+
+    def test_fake_infeasible_failure_solution(self, monkeypatch):
+        from tests import _fake_cvxpy as fc
+
+        fc.install(monkeypatch)
+        from proxsdp_tpu.cvxpy_interface import solve_cvxpy_problem
+
+        prob = fc.infeasible_lp_scs_problem()
+        solve_cvxpy_problem(
+            prob, max_iter=20_000, infeas_gap_tol=0.3,
+            infeas_stable_gap_tol=1e-2,
+        )
+        assert prob.status in ("infeasible", "infeasible_or_unbounded")
+        assert prob.value == np.inf
+
+    def test_fake_rejects_exp_cone(self, monkeypatch):
+        from tests import _fake_cvxpy as fc
+
+        fc.install(monkeypatch)
+        from proxsdp_tpu.cvxpy_interface import solve_cvxpy_problem
+
+        prob = fc.bounded_lp_scs_problem()
+        prob._data["dims"].exp = 1
+        with pytest.raises(ValueError, match="exponential/power"):
+            solve_cvxpy_problem(prob)

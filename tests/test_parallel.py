@@ -97,6 +97,42 @@ class TestShardedTP:
             1 + abs(r_ref.objval)
         )
 
+    def test_tp_sharded_operator_side_512(self):
+        """VERDICT r2 #8: matvec/rmatvec and the linesearch norms must
+        ride the mesh, not just the PSD projection.  Side-512 block over
+        the full 8-device tp mesh with the operator sharded
+        (ops/linop.py shard_linop); bounded iterations, trajectory must
+        track the unsharded solve."""
+        from jax.sharding import Mesh
+        from proxsdp_tpu.parallel.sharded import solve_sharded
+
+        prob, _ = maxcut_problem(random_graph_weights(7, 512))
+        mesh = Mesh(np.array(jax.devices()), ("tp",))
+        o = px.Options(max_iter=120, hybrid_precision=False,
+                       certificate_search=False)
+        r_ref = solve(prob, o)
+        r_tp = solve_sharded(prob, mesh, o)
+        assert abs(r_tp.objval - r_ref.objval) < 1e-3 * (
+            1 + abs(r_ref.objval)
+        )
+        assert abs(r_tp.gap - r_ref.gap) < 1e-2 * (1 + abs(r_ref.gap))
+
+    def test_tp_sharded_dense_operator(self):
+        """DenseOp column-sharded over tp: M@x contracts over the mesh
+        (psum), M'y emits a sharded n-vector (shard_linop DenseOp arm)."""
+        from jax.sharding import Mesh
+        from proxsdp_tpu.parallel.sharded import solve_sharded
+
+        prob, _ = maxcut_problem(random_graph_weights(5, 64))
+        mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+        o = px.Options(linop="dense", hybrid_precision=False)
+        r_ref = solve(prob, o)
+        r_tp = solve_sharded(prob, mesh, o)
+        assert r_tp.status == 1
+        assert abs(r_tp.objval - r_ref.objval) < 1e-4 * (
+            1 + abs(r_ref.objval)
+        )
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):

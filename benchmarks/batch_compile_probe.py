@@ -20,3 +20,21 @@ for B in (32, 64, 128):
     dt = time.time() - t0
     ok = sum(r.status == 1 for r in res)
     print(f"B={B}: {ok}/{B} optimal in {dt:.1f}s", flush=True)
+
+# the BASELINE.json headline config: the 1024-instance max-cut sweep
+# (SURVEY §2.3 DP row).  Report SDPs/s/chip with compile amortized out
+# (solve twice: first includes compile, second is the steady-state rate).
+B, s16 = 1024, 16
+probs = [maxcut_problem(random_graph_weights(s, s16))[0] for s in range(B)]
+t0 = time.time()
+res = solve_batch(probs, px.Options(time_limit=1200))
+t_cold = time.time() - t0
+t0 = time.time()
+res = solve_batch(probs, px.Options(time_limit=1200))
+t_warm = time.time() - t0
+ok = sum(r.status == 1 for r in res)
+print(
+    f"sweep1024 side={s16}: {ok}/{B} optimal; cold {t_cold:.1f}s, warm "
+    f"{t_warm:.1f}s = {B / t_warm:.1f} SDPs/s/chip",
+    flush=True,
+)

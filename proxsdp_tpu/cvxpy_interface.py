@@ -116,7 +116,19 @@ def solve_cvxpy_problem(
             raw = failure_solution(status)
         problem.unpack_results(raw, chain, inverse_data)
         return problem.value
-    except Exception:
+    except Exception as e:
         # version mismatch in CVXPY's internal Solution schema: the solve
-        # itself succeeded; expose the raw cone solution
+        # itself succeeded; expose the raw cone solution.  Warn loudly —
+        # the return type changes (float -> ConeSolution) and silent
+        # type-sniffing at call sites is worse than a schema note.
+        import warnings
+
+        warnings.warn(
+            "solve_cvxpy_problem: cvxpy's Solution/unpack_results schema "
+            f"did not match this cvxpy version ({type(e).__name__}: {e}); "
+            "returning the raw ConeSolution (read .objval/.x/.y) instead "
+            "of problem.value",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return sol

@@ -173,10 +173,13 @@ class Options:
     # cone-safe block Ruiz equilibration (TPU-native extension; see
     # equilibration.block_equilibrate_host): rows scale freely, columns
     # uniformly per cone block.  For problems whose constraint-row norms
-    # span decades (SDPLIB arch/control).  Takes precedence over
-    # `equilibration` when set.
-    block_equilibration: bool = False
+    # span decades (SDPLIB arch/control: spreads ~1e4, where the default
+    # pipeline stalls at ~100% gap; measured spreads elsewhere <= 250).
+    # "auto" enables it when the row-norm spread exceeds 1e3; True/False
+    # force.  Takes precedence over `equilibration` when on.
+    block_equilibration: object = "auto"
     block_equilibration_iters: int = 10
+    block_equilibration_spread: float = 1e3
 
     # spectral norm: True = Frobenius upper bound (deterministic, default);
     # False = power-iteration 2-norm (reference uses ARPACK svds here)
@@ -327,6 +330,11 @@ class Options:
             raise ValueError(f"dtype must be float64|float32, got {self.dtype}")
         if self.restart not in ("none", "adaptive"):
             raise ValueError(f"restart must be none|adaptive, got {self.restart}")
+        if self.block_equilibration not in (True, False, "auto"):
+            raise ValueError(
+                "block_equilibration must be True|False|'auto', got "
+                f"{self.block_equilibration!r}"
+            )
 
     def replace(self, **kw) -> "Options":
         return dataclasses.replace(self, **kw)

@@ -1144,7 +1144,10 @@ def solve(
     # optional diagonal preconditioning (reference pdhg.jl:64-92); mutates
     # setup.A/G/b/h/c before the operator and step sizes are built
     equil = None
-    if opts.block_equilibration:
+    beq = opts.block_equilibration
+    if beq == "auto":
+        beq = _row_norm_spread(setup) > opts.block_equilibration_spread
+    if beq:
         from .equilibration import block_equilibrate_host
 
         equil = block_equilibrate_host(setup, opts)
@@ -1930,6 +1933,23 @@ def _declare_string(st, sc):
     if st == 5:
         return f"Unbounded: |Primal objective| = {sc['prim_obj']:.3e} too large"
     return f"Infeasible: detected during iteration (dual objective {sc['dual_obj']:.3e})"
+
+
+def _row_norm_spread(setup) -> float:
+    """max/min nonzero row 2-norm of M = [A; G] (block_equilibration
+    "auto" gate).  Cheap host-side pass over the sparse data."""
+    import scipy.sparse as sp
+
+    from .ops.linop import stack_vertical
+
+    M = sp.csr_matrix(stack_vertical(setup.A, setup.G))
+    if M.shape[0] == 0:
+        return 1.0
+    rn = np.sqrt(np.asarray(M.multiply(M).sum(axis=1)).ravel())
+    rn = rn[rn > 0]
+    if rn.size == 0:
+        return 1.0
+    return float(rn.max() / rn.min())
 
 
 # Maximum certificate searches per solve.  The reference enters a search

@@ -175,5 +175,13 @@ class TestPerturbedSDPLIBInfeasible:
                 max_iter=20000, time_limit=150, hybrid_precision=False
             ),
         )
-        assert r.status == 6, (r.status, r.status_string)
-        assert r.termination_status == "INFEASIBLE"
+        # certified infeasibility when the ray search finishes in budget;
+        # under CPU contention the search may run out of time, in which
+        # case the declaration is demoted to a limit status with the
+        # suspicion annotated (never a bare INFEASIBLE without a ray)
+        if r.status == 6:
+            assert r.certificate_found, r.status_string
+            assert r.termination_status == "INFEASIBLE"
+        else:
+            assert r.status in (2, 3), (r.status, r.status_string)
+            assert "Suspected infeasible" in r.status_string, r.status_string

@@ -62,7 +62,15 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--time-limit", type=float, default=300.0)
     ap.add_argument("--out", default="applications.csv")
+    ap.add_argument("--backend", default="",
+                    help="force a jax platform (e.g. 'cpu'); the env vars "
+                    "are ignored by the axon TPU plugin")
     args = ap.parse_args()
+
+    if args.backend:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", args.backend)
 
     import proxsdp_tpu as px
 

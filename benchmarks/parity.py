@@ -171,7 +171,14 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--time-limit", type=float, default=300.0)
     ap.add_argument("--out", default="parity.csv")
+    ap.add_argument("--backend", default="",
+                    help="force a jax platform (e.g. 'cpu'); NOTE the env "
+                    "vars JAX_PLATFORMS/JAX_PLATFORM_NAME are ignored by "
+                    "the axon TPU plugin — only this config works")
     args = ap.parse_args()
+
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
 
     import proxsdp_tpu as px
     from proxsdp_tpu.models.sdplib import sdplib_problem
@@ -187,7 +194,9 @@ def main():
         ).stdout.strip() or "unknown"
     except Exception:
         commit = "unknown"
-    backend = jax.default_backend()
+    # NOTE: jax.default_backend() is queried lazily per row, AFTER the
+    # first solve — querying it here would initialize the backend early
+    # and hang the whole sweep when the TPU tunnel is down
 
     fieldnames = [
         "instance", "status", "time_s", "obj", "published", "rel_err",
@@ -244,7 +253,7 @@ def main():
                 iters=res.iter,
                 lin_viol=f"{lin:.2e}",
                 psd_viol=f"{psd:.2e}",
-                backend=backend,
+                backend=jax.default_backend(),
                 commit=commit,
             )
         )

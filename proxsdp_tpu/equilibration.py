@@ -110,9 +110,9 @@ def block_equilibrate_host(setup, opts):
     setup.b = E[:p_] * setup.b
     setup.h = E[p_:] * setup.h
     setup.c = D * setup.c
-    setup.norm_b = float(np.linalg.norm(setup.b)) if setup.b.size else 0.0
-    setup.norm_h = float(np.linalg.norm(setup.h)) if setup.h.size else 0.0
-    setup.norm_c = float(np.linalg.norm(setup.c)) if setup.c.size else 0.0
+    # norm_b/h/c stay at their PRE-equilibration values: the device
+    # measures feasibility in user units (row_unscale operand), so the
+    # denominators must be user-unit norms too
     return Equilibration(E=E, D=D)
 
 

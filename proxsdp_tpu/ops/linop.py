@@ -148,11 +148,14 @@ def _build_ell(rows, cols, vals, nrows, ncols, dtype, max_width=32):
             return None
         idx = np.zeros((nkeys, width), np.int32)
         val = np.zeros((nkeys, width))
-        pos = np.zeros(nkeys, np.int64)
-        for k, o, v in zip(keys, others, vals):
-            idx[k, pos[k]] = o
-            val[k, pos[k]] = v
-            pos[k] += 1
+        # vectorized fill: sort by key, slot = rank within the key's run
+        # (the Python-loop version cost seconds at SDPLIB-tail nnz ~1e6)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        starts = np.searchsorted(ks, np.arange(nkeys), side="left")
+        slot = np.arange(len(ks)) - starts[ks]
+        idx[ks, slot] = others[order]
+        val[ks, slot] = vals[order]
         return idx, val
 
     t_row = tables(rows, cols, vals, nrows)

@@ -136,7 +136,7 @@ def _cached_batch_runner_normalized(layout, opts: Options, m_kind: str):
         m_axes = None
     op_axes = Operands(
         M=m_axes, b=0, h=0, c=0, norm_b=0, norm_h=0, norm_c=0,
-        chunk_end=None, obj_scale=0,
+        chunk_end=None, obj_scale=0, row_unscale=None,
     )
     viter = jax.vmap(iteration, in_axes=(0, op_axes))
 

@@ -63,6 +63,12 @@ class Operands(NamedTuple):
     # (a gap computed on scaled objectives is ~s x looser wherever
     # |po|+|do| << s, which silently relaxes convergence)
     obj_scale: jax.Array = 1.0
+    # row unscaling 1/E for the feasibility residual ((p+m,) under
+    # equilibration, scalar 1.0 otherwise): feasibility must be measured
+    # in USER units — an equilibrated row scaled down by 1e2 would
+    # otherwise report a 1e2-smaller violation and let the solver declare
+    # optimal at user-space lin_viol ~0.1 (observed on SDPLIB arch2)
+    row_unscale: object = 1.0
 
 
 class State(NamedTuple):
@@ -523,14 +529,19 @@ def _residuals_and_gap(s: State, o: Operands, layout: ConeLayout, opts: Options)
     )
     comb = jnp.maximum(pres, dres)
 
-    # feasibility (one-sided for inequalities; residuals.jl:4-19)
+    # feasibility (one-sided for inequalities; residuals.jl:4-19),
+    # measured in USER units: under equilibration the device rows are
+    # E-scaled, so the raw residual hides violations on downscaled rows
+    ru = jnp.asarray(o.row_unscale)
+    ru_eq = hi(ru[:p_]) if ru.ndim else hi(ru)
+    ru_in = hi(ru[p_:]) if ru.ndim else hi(ru)
     equa = (
-        _norm_inf(hi(s.Mx[:p_]) - hi(o.b)) / (1.0 + hi(o.norm_b))
+        _norm_inf((hi(s.Mx[:p_]) - hi(o.b)) * ru_eq) / (1.0 + hi(o.norm_b))
         if p_
         else hi(s.equa_feas)
     )
     ineq = (
-        jnp.max(hi(s.Mx[p_:]) - hi(o.h)) / (1.0 + hi(o.norm_h))
+        jnp.max((hi(s.Mx[p_:]) - hi(o.h)) * ru_in) / (1.0 + hi(o.norm_h))
         if m_
         else hi(s.ineq_feas)
     )
@@ -1174,6 +1185,11 @@ def solve(
             norm_c=jnp.asarray(setup.norm_c, dt),
             chunk_end=jnp.asarray(0, jnp.int32),
             obj_scale=jnp.asarray(setup.obj_scale * setup.rhs_scale, dt),
+            row_unscale=(
+                jnp.asarray(1.0 / equil.E, dt)
+                if equil is not None
+                else jnp.asarray(1.0, dt)
+            ),
         )
 
     operands = make_operands(dtype)

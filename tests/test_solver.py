@@ -386,6 +386,32 @@ class TestOptions:
         assert res.status == 1
         assert abs(res.objval - 18.0) < 5e-2
 
+    def test_equilibrated_feasibility_is_user_units(self):
+        """A row scaled down by 1e-4 must not hide its violation behind
+        the equilibration: OPTIMAL may only be declared when the USER-
+        unit residual meets tol (observed on SDPLIB arch2: status 1 with
+        lin_viol 0.146 before the row_unscale operand)."""
+        W = np.array(
+            [[18.0, -5.0, -7.0, -6.0],
+             [-5.0, 6.0, 0.0, -1.0],
+             [-7.0, 0.0, 8.0, -1.0],
+             [-6.0, -1.0, -1.0, 8.0]]
+        )
+        opt = px.Optimizer(tol_feasibility=1e-5, tol_gap=1e-5)
+        X = opt.add_psd_var(4)
+        for i in range(4):
+            # same feasible set as maxcut, rows deliberately mis-scaled
+            # across 4 decades (forces the auto block equilibration on)
+            s = 10.0 ** (-4 * (i % 2))
+            opt.add_eq_constraint({int(X[i, i]): s}, s)
+        opt.set_objective(opt.psd_inner_product_coeffs(X, 0.25 * W), sense="max")
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 18.0) < 5e-2
+        Xs = opt.get_psd_solution(X)
+        # USER-unit feasibility: every diagonal pinned to 1 within ~tol
+        assert np.abs(np.diag(Xs) - 1.0).max() < 1e-3, np.diag(Xs)
+
     def test_adaptive_restart_mode(self):
         """restart="adaptive" (PDLP-style restart-to-average; TPU-native
         extension, no reference counterpart) converges to the same

@@ -175,11 +175,27 @@ class Options:
     # uniformly per cone block.  For problems whose constraint-row norms
     # span decades (SDPLIB arch/control: spreads ~1e4, where the default
     # pipeline stalls at ~100% gap; measured spreads elsewhere <= 250).
-    # "auto" enables it when the row-norm spread exceeds 1e3; True/False
-    # force.  Takes precedence over `equilibration` when on.
+    # True/False force it on/off.  "auto" PROBES: when the row-norm
+    # spread exceeds block_equilibration_probe_spread, both
+    # preconditioners race for block_equilibration_probe_iters
+    # iterations through the same compiled program and the solve
+    # continues (warm-started) with whichever made more progress — a
+    # static spread gate cannot separate instances the scaling helps
+    # from ones it hurts (measured: arch0 rescued, arch2 regressed, at
+    # the SAME spread 1.96e4).  Takes precedence over `equilibration`
+    # when on.
     block_equilibration: object = "auto"
     block_equilibration_iters: int = 10
+    # hard gate used when probing is disabled (probe_spread <= 0):
+    # "auto" then means spread > block_equilibration_spread
     block_equilibration_spread: float = 1e3
+    block_equilibration_probe_spread: float = 3.0
+    block_equilibration_probe_iters: int = 6000
+    # the block-equilibrated arm must beat the default pipeline by this
+    # factor to win the probe (measured: at 2500 iters arch2's arms score
+    # within 1.2x of each other and the long-run winner is the default —
+    # near-ties must not flip the pipeline)
+    block_equilibration_probe_margin: float = 1.3
 
     # spectral norm: True = Frobenius upper bound (deterministic, default);
     # False = power-iteration 2-norm (reference uses ARPACK svds here)

@@ -1152,6 +1152,19 @@ def solve(
     if opts.log_verbose:
         _print_header(layout, opts)
 
+    # block_equilibration="auto": race both preconditioners for a short
+    # probe and continue with the winner (see Options for the rationale —
+    # a static spread gate mispredicts within a single SDPLIB family)
+    if (
+        opts.block_equilibration == "auto"
+        and opts.block_equilibration_probe_spread > 0
+        and warm_start is None
+        and resume_from is None
+        and isinstance(problem, ConicProblem)
+        and _row_norm_spread(setup) > opts.block_equilibration_probe_spread
+    ):
+        return _solve_with_beq_probe(problem, opts, t0)
+
     # optional diagonal preconditioning (reference pdhg.jl:64-92); mutates
     # setup.A/G/b/h/c before the operator and step sizes are built
     equil = None
@@ -1247,6 +1260,15 @@ def solve(
         "k_sub": 0,
         "best": float("inf"),
         "since": None,
+        # exponential backoff on the restart window: on oscillating
+        # problems (SDPLIB truss6) a fixed window fires a restart every
+        # couple of chunks, and each reset kicks the iterate — a restart
+        # CASCADE that prevents convergence entirely.  Double the window
+        # per restart (capped); a 1.2x metric improvement resets it.
+        "window_mult": 1,
+        # pre-restart snapshot for the guarded-restart rollback:
+        # (host state, metric, iter, (phase32, k_sub)) or None
+        "guard": None,
     }
 
     if resume_from:
@@ -1327,6 +1349,26 @@ def solve(
     # chunks where 400-iter chunks let it reach 7.6e-4)
     stall_window = max(3 * opts.convergence_window, 1500)
     hybrid_best = {"value": float("inf"), "since": 0}
+    # best iterate seen across the whole solve, scored by
+    # max(rel gap, user-unit feasibility) at chunk boundaries.  PDHG is
+    # non-monotone, so at a limit/demoted status the final iterate (or the
+    # declaration-time snapshot of a failed certificate search) can be far
+    # worse than the best point the trajectory passed through — observed on
+    # truss6, where the declaration snapshot was the near-zero cold start.
+    # The reference returns its cached solution at limits
+    # (pdhg.jl:335-382); keeping the best-scored one is the same idea with
+    # a better cache policy.  Only the fields _cache_solution reads are
+    # copied (x/y + the residual ring buffers), not the whole state.
+    # "snap" holds the fields _cache_solution reads; "full" is the whole
+    # host-copied state (for resuming a failed certificate search from the
+    # best point instead of the declaration-time one), valid only while
+    # the compiled program that produced it is still current ("tag").
+    best_ctx = {"score": float("inf"), "snap": None, "full": None,
+                "tag": None}
+    _SNAP_FIELDS = (
+        "x", "y", "iter", "current_rank", "buf_gap", "buf_prim_obj",
+        "buf_dual_obj", "buf_feas", "buf_pres", "buf_dres",
+    )
     tau0 = float(state.primal_step)
 
     # --- observability (reference: TimerOutputs spans, SURVEY.md §5).
@@ -1435,6 +1477,19 @@ def solve(
         timers["host sync"] += time.time() - t_sync
         k, st = sc["iter"], sc["status"]
         elapsed = time.time() - t0
+
+        if cert_ctx["mode"] == 0 and k > 0:
+            # track the best-scored iterate (see best_ctx above); a 5%
+            # improvement gate bounds the device->host copies to
+            # O(log(initial/final score))
+            score = max(sc["gap"], sc["feas"])
+            if np.isfinite(score) and score < 0.95 * best_ctx["score"]:
+                best_ctx["score"] = score
+                best_ctx["full"] = jax.tree_util.tree_map(np.asarray, state)
+                best_ctx["tag"] = (phase32, polish_ctx["k_sub"])
+                best_ctx["snap"] = {
+                    f: getattr(best_ctx["full"], f) for f in _SNAP_FIELDS
+                }
 
         if opts.log_verbose and k >= log_next:
             dfeas = None
@@ -1605,6 +1660,43 @@ def solve(
 
         in_cert = cert_ctx["mode"] != 0
 
+        # ----- guarded-restart rollback: a step restart can destabilize
+        # the iterate outright (truss6: restart at gap 4.7e-3 exploded
+        # feasibility to 8e3 within one chunk and triggered a spurious
+        # INFEASIBLE declaration).  The watchdog snapshots the state
+        # before each restart; if the next chunk shows the metric blown
+        # up >= 5x (or a 5/6 declaration), roll back and suppress further
+        # restarts.  Damage is bounded to one chunk.
+        g = polish_ctx.get("guard")
+        if g is not None and not phase32 and not in_cert:
+            g_state, g_metric, g_k, g_tag = g
+            if k > g_k:
+                polish_ctx["guard"] = None
+                metric_now = max(sc["gap"], sc["feas"])
+                if g_tag == (phase32, polish_ctx["k_sub"]) and (
+                    not np.isfinite(metric_now)
+                    or metric_now > 5 * max(g_metric, 1e-12)
+                    or st in (5, 6)
+                ):
+                    state = jax.tree_util.tree_map(jnp.asarray, g_state)
+                    state = state._replace(
+                        iter=jnp.asarray(k, jnp.int32),
+                        status=jnp.asarray(0, jnp.int32),
+                        infeas_block_until=jnp.asarray(
+                            k + stall_window, jnp.int32
+                        ),
+                    )
+                    polish_ctx["window_mult"] = 16
+                    polish_ctx["since"] = k
+                    polish_ctx["best"] = g_metric
+                    if opts.log_verbose:
+                        print(
+                            f"  [polish] restart hurt (metric "
+                            f"{g_metric:.2e} -> {metric_now:.2e}): "
+                            "rolled back, restarts suppressed"
+                        )
+                    continue
+
         # ----- f64 polish watchdog (see polish_ctx)
         if (
             not phase32
@@ -1618,21 +1710,39 @@ def solve(
             if metric < polish_ctx["best"] / 1.2:
                 polish_ctx["best"] = metric
                 polish_ctx["since"] = k
-            if (k - polish_ctx["since"]) >= stall_window:
+                polish_ctx["window_mult"] = 1
+            if (
+                k - polish_ctx["since"]
+            ) >= stall_window * polish_ctx["window_mult"]:
                 polish_ctx["since"] = k
                 polish_ctx["best"] = metric
+                polish_ctx["window_mult"] = min(
+                    2 * polish_ctx["window_mult"], 16
+                )
                 # step-machinery restart (keep iterates): a hand-over from
                 # a declared f32 point inherits adaptive steps tuned for a
                 # converged regime, which can creep for 10k+ iterations
                 # (standard PDHG restart; same reset as the stalled-
-                # hand-over branch above)
+                # hand-over branch above).  beta is NOT reset: the adaptive
+                # balance controller learned it from the residual history,
+                # and discarding it on every restart re-kicks the iterate.
+                # The steps are re-split around sqrt(beta) so the learned
+                # balance is kept WITHOUT breaking the PDHG stability
+                # product tau_p * tau_d * ||M||^2 <= 1 (PDLP's primal
+                # weight): tau_p = tau0/sqrt(beta), tau_d = tau0*sqrt(beta).
+                polish_ctx["guard"] = (
+                    jax.tree_util.tree_map(np.asarray, state),
+                    metric,
+                    k,
+                    (phase32, polish_ctx["k_sub"]),
+                )
                 f64 = jnp.float64
+                sq = float(jnp.sqrt(state.beta))
                 state = state._replace(
-                    primal_step=jnp.asarray(tau0, f64),
-                    primal_step_old=jnp.asarray(tau0, f64),
-                    dual_step=jnp.asarray(tau0, f64),
+                    primal_step=jnp.asarray(tau0 / sq, f64),
+                    primal_step_old=jnp.asarray(tau0 / sq, f64),
+                    dual_step=jnp.asarray(tau0 * sq, f64),
                     theta=jnp.asarray(opts.initial_theta, f64),
-                    beta=jnp.asarray(opts.initial_beta, f64),
                     adapt_level=jnp.asarray(opts.initial_adapt_level, f64),
                     ada_count=jnp.asarray(0, jnp.int32),
                 )
@@ -1691,6 +1801,16 @@ def solve(
             done, found, fail = _check_certificate(
                 sc, state, setup, opts, cert_ctx["mode"], st
             )
+            if not done and (
+                k >= cert_ctx.get("deadline_k", np.inf)
+                or time.time() >= cert_ctx.get("deadline_t", np.inf)
+            ):
+                # per-search deadline crossed with no ray: fail the search
+                # (see _set_cert_deadlines) so the solve resumes instead of
+                # hunting until the global budget dies
+                done, found, fail = True, False, "search deadline"
+                if opts.log_verbose:
+                    print("  [cert] search deadline crossed, no ray")
             # st == 1 here means the MODIFIED problem converged (c=0 for an
             # infeasibility search): a feasible point of the original
             # constraints was found, so the INFEASIBLE declaration was
@@ -1713,7 +1833,19 @@ def solve(
                     # feasible problems).  The stall-based detection is
                     # suppressed for a window so it cannot immediately
                     # re-fire.
+                    # resume from the BEST tracked iterate when its
+                    # program matches the current one — the declaration-
+                    # time state is often already degenerate (truss6:
+                    # exploded iterate declares, search fails, resuming
+                    # the same explosion re-declares in a cycle) while
+                    # the best point may be orders of magnitude closer
                     rs = cert_ctx["resume_state"]
+                    if (
+                        best_ctx["full"] is not None
+                        and best_ctx["tag"]
+                        == (phase32, polish_ctx["k_sub"])
+                    ):
+                        rs = best_ctx["full"]
                     state = jax.tree_util.tree_map(jnp.asarray, rs)
                     state = state._replace(
                         iter=jnp.asarray(k, jnp.int32),
@@ -1723,6 +1855,11 @@ def solve(
                             k + 2 * stall_window, jnp.int32
                         ),
                     )
+                    # fresh watchdog view at the resumed point (otherwise
+                    # the stale all-time best fires a restart immediately)
+                    polish_ctx["since"] = k
+                    polish_ctx["best"] = best_ctx["score"]
+                    polish_ctx["window_mult"] = 2
                     operands = make_operands(dtype)
                     cert_ctx = {
                         "snapshot": None,
@@ -1803,6 +1940,7 @@ def solve(
                 )
                 cert_ctx["mode"] = st
                 cert_ctx["entries"] += 1
+                _set_cert_deadlines(cert_ctx, state, opts, k)
                 continue
             final_status = st
             status_string = _declare_string(st, sc)
@@ -1836,6 +1974,7 @@ def solve(
                 )
                 cert_ctx["mode"] = lim_status
                 cert_ctx["entries"] += 1
+                _set_cert_deadlines(cert_ctx, state, opts, k)
                 continue
             if lim_status in (5, 6):
                 # uncertifiable (searches exhausted or disabled-by-cap):
@@ -1885,18 +2024,40 @@ def solve(
                 equil=equil,
             )
         else:
-            # no ray: return the cached best solution under the demoted
-            # limit status (never an unproven INFEASIBLE/UNBOUNDED)
-            res = cert_ctx["snapshot"]
-            res.status = final_status
-            res.status_string = status_string or res.status_string
-            res.time = time.time() - t0
+            # no ray: demoted limit status (never an unproven
+            # INFEASIBLE/UNBOUNDED).  The declaration-time snapshot was
+            # score-tracked at its own chunk boundary, so best_ctx is at
+            # least as good — return it when available.
+            if best_ctx["snap"] is not None:
+                res = _cache_solution(
+                    state._replace(**best_ctx["snap"]), setup, opts, t0,
+                    status=final_status,
+                    status_string=status_string
+                    or cert_ctx["snapshot"].status_string,
+                    equil=equil,
+                )
+                res.iter = k  # report total iterations run, not the
+                # snapshot's position (the buffers were indexed by it)
+            else:
+                res = cert_ctx["snapshot"]
+                res.status = final_status
+                res.status_string = status_string or res.status_string
+                res.time = time.time() - t0
     else:
+        # at a limit status, return the best-scored iterate seen rather
+        # than the last one when the trajectory regressed past it
+        total_k = int(state.iter)
+        if final_status in (2, 3, 4) and best_ctx["snap"] is not None:
+            cur = max(sc["gap"], sc["feas"])
+            if not np.isfinite(cur) or best_ctx["score"] < cur:
+                state = state._replace(**best_ctx["snap"])
         res = _cache_solution(
             state, setup, opts, t0, status=final_status,
             status_string=status_string or STATUS_STRINGS[final_status],
             equil=equil,
         )
+        res.iter = total_k  # total iterations run (the snapshot override
+        # above may have rewound state.iter to index the ring buffers)
 
     timers["finalize"] = time.time() - t0 - sum(
         v for k_, v in timers.items() if k_ != "finalize"
@@ -1919,6 +2080,123 @@ def solve(
     if opts.log_verbose:
         _log_final(res)
     return res
+
+
+def _probe_score(res: Result, problem) -> float:
+    """Progress metric of a probe sub-solve: max(rel gap, rel lin viol),
+    lower is better; non-finite/degenerate results score inf."""
+    if res is None or res.primal.size == 0:
+        return float("inf")
+    x = res.primal
+    lin = 0.0
+    if problem.A is not None and getattr(problem.A, "shape", (0,))[0]:
+        r = np.abs(np.asarray(problem.A @ x).ravel() - problem.b)
+        lin = max(lin, float(r.max()) / (1.0 + float(np.abs(problem.b).max(initial=0.0))))
+    if problem.G is not None and getattr(problem.G, "shape", (0,))[0]:
+        r = np.maximum(np.asarray(problem.G @ x).ravel() - problem.h, 0.0)
+        lin = max(lin, float(r.max()) / (1.0 + float(np.abs(problem.h).max(initial=0.0))))
+    gap = abs(res.gap) if np.isfinite(res.gap) else float("inf")
+    score = max(gap, lin)
+    return score if np.isfinite(score) else float("inf")
+
+
+def _solve_with_beq_probe(problem, opts: Options, t0: float) -> Result:
+    """block_equilibration="auto": race both preconditioners briefly,
+    then finish with the winner, warm-started from its probe iterate.
+
+    Both probe arms and the final solve share the SAME compiled chunk
+    program (identical geometry; the preconditioner only changes operand
+    VALUES), so the probe costs iterations, not compiles.  Measured
+    motivation: at the same row-norm spread (1.96e4) block equilibration
+    rescues SDPLIB arch0 but regresses arch2 — only running both tells
+    them apart.  Probe budget: block_equilibration_probe_iters each plus
+    a small slice of the time limit; the final solve's time limit is
+    reduced by the wall time the probes consumed."""
+    margin = max(opts.block_equilibration_probe_margin, 1.0)
+    probe_t = max(min(0.05 * opts.time_limit, 20.0), 2.0)
+    base = dict(
+        certificate_search=False,
+        log_verbose=False,
+        timer_verbose=False,
+        warn_on_limit=False,
+        checkpoint_path="",
+    )
+    # adaptive depth: the arms of a hard instance can track each other
+    # for 10k+ iterations before separating (truss6: indistinguishable at
+    # 6k, the equilibrated arm clearly ahead by ~50k).  While the scores
+    # are within the margin of each other, double the probe and continue
+    # each arm from its own iterate, until a winner emerges, an arm
+    # solves, or the probe has consumed ~25% of the time budget.
+    arms: dict = {False: None, True: None}
+    scores = {False: float("inf"), True: float("inf")}
+    depth = int(opts.block_equilibration_probe_iters)
+    for _round in range(4):
+        round_t = max(min(probe_t, opts.time_limit - (time.time() - t0)), 1.0)
+        for variant in (False, True):
+            prev = arms[variant]
+            warm = prev if prev is not None and prev.status in (2, 3) else None
+            try:
+                arms[variant] = solve(
+                    problem,
+                    opts.replace(
+                        block_equilibration=variant,
+                        max_iter=depth,
+                        time_limit=round_t,
+                        **base,
+                    ),
+                    warm_start=warm,
+                )
+            except Exception as e:  # a probe must never kill the solve
+                if opts.log_verbose:
+                    print(f"  [beq probe] arm {variant} failed: {e}")
+                arms[variant] = None
+        scores = {v: _probe_score(r, problem) for v, r in arms.items()}
+        if opts.log_verbose:
+            print(
+                f"  [beq probe] depth {depth}: default {scores[False]:.3e} "
+                f"vs block-equilibrated {scores[True]:.3e}"
+            )
+        solved = any(
+            r is not None and r.status == 1 for r in arms.values()
+        )
+        separated = (
+            scores[True] * margin < scores[False]
+            or scores[False] * margin < scores[True]
+        )
+        if solved or separated:
+            break
+        if time.time() - t0 > 0.25 * opts.time_limit:
+            break
+        depth *= 2
+    # ties and garbage-vs-garbage go to the default pipeline; the
+    # equilibrated arm must win by a clear margin (near-ties at probe
+    # depth do not predict the long-run winner — see Options).  An arm
+    # that actually SOLVED always wins over one that did not.
+    opt1 = {v: arms[v] is not None and arms[v].status == 1 for v in arms}
+    if opt1[True] != opt1[False]:
+        winner = opt1[True]
+    else:
+        winner = bool(scores[True] * margin < scores[False])
+    wres = arms[winner]
+    if opts.log_verbose:
+        print(
+            f"  [beq probe] -> "
+            f"{'block-equilibrated' if winner else 'default'}"
+        )
+    if wres is not None and wres.status == 1:
+        wres.time = time.time() - t0
+        return wres
+    warm = None
+    if wres is not None and wres.status in (2, 3) and np.isfinite(
+        scores[winner]
+    ):
+        warm = wres
+    remaining = opts.time_limit - (time.time() - t0)
+    final_opts = opts.replace(
+        block_equilibration=winner,
+        time_limit=max(remaining, 1.0),
+    )
+    return solve(problem, final_opts, warm_start=warm)
 
 
 def _timer_report(timers, chunk_counts, res, proj_fallbacks: int = -1) -> str:
@@ -2067,6 +2345,23 @@ def _enter_certificate_mode(st, operands, state, budget, opts, setup, dtype):
     )
     budget.hard_cap = max(budget.hard_cap, budget.max_iter + k)
     return operands, state, budget
+
+
+def _set_cert_deadlines(cert_ctx, state, opts: Options, k: int):
+    """Bound ONE certificate search in iterations and wall time.
+
+    The reference grants a search ~10% extra budget (pdhg.jl:670-676);
+    without a per-search bound our search runs until the global limits,
+    and on a hard-but-feasible problem (SDPLIB truss6) the ray hunt
+    consumed half the total wall time before being demoted.  A search
+    gets twice its monitoring warm-up window in iterations and 10% of
+    the user time limit, whichever ends later matters per-dimension —
+    crossing EITHER deadline fails the search (and the failed-search
+    path resumes the real solve)."""
+    wait = int(state.cert_wait_until)
+    cert_ctx["deadline_k"] = k + 2 * max(wait - k, 1)
+    span_t = 0.1 * opts.time_limit if np.isfinite(opts.time_limit) else 60.0
+    cert_ctx["deadline_t"] = time.time() + max(min(span_t, 600.0), 5.0)
 
 
 def _check_certificate(sc, state, setup, opts: Options, mode: int, st: int = 0):

@@ -412,6 +412,42 @@ class TestOptions:
         # USER-unit feasibility: every diagonal pinned to 1 within ~tol
         assert np.abs(np.diag(Xs) - 1.0).max() < 1e-3, np.diag(Xs)
 
+    def test_beq_probe_races_both_preconditioners(self, capsys):
+        """block_equilibration="auto" with row-norm spread above the
+        probe threshold races both preconditioners through the same
+        compiled program (solver._solve_with_beq_probe) and returns the
+        winner's result; a probe arm that SOLVES is returned directly.
+        Motivation: a static spread gate mispredicts within one SDPLIB
+        family (arch0 rescued / arch2 regressed at the same spread)."""
+        opt = px.Optimizer(log_verbose=True, log_freq=10**9)
+        X = opt.add_psd_var(4)
+        W = np.array(
+            [[18.0, -5.0, -7.0, -6.0],
+             [-5.0, 6.0, 0.0, -1.0],
+             [-7.0, 0.0, 8.0, -1.0],
+             [-6.0, -1.0, -1.0, 8.0]]
+        )
+        for i in range(4):
+            s = 100.0 if i % 2 else 1.0  # spread 100 > probe threshold 3
+            opt.add_eq_constraint({int(X[i, i]): s}, s)
+        opt.set_objective(
+            opt.psd_inner_product_coeffs(X, 0.25 * W), sense="max"
+        )
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 18.0) < 5e-2
+        assert "[beq probe]" in capsys.readouterr().out
+
+    def test_limit_status_reports_total_iters(self):
+        """At a limit status the solver may return the BEST tracked
+        iterate (ring buffers rewound to its position) — but Result.iter
+        must still report the total iterations actually run."""
+        opt, _ = build_maxcut_opt(max_iter=37, min_iter=0)
+        res = opt.optimize()
+        assert res.status == 3
+        assert res.iter == 37, res.iter
+        assert np.isfinite(res.objval)
+
     def test_adaptive_restart_mode(self):
         """restart="adaptive" (PDLP-style restart-to-average; TPU-native
         extension, no reference counterpart) converges to the same

@@ -52,8 +52,14 @@ def run_tpu_solver(path):
     t0 = time.time()
     res1 = solve(problem, opts)  # includes compile
     t_first = time.time() - t0
+    # warm run (compile cached) with phase timers; the report goes to
+    # stderr so stdout stays one JSON line
+    import contextlib
+
+    opts_t = opts.replace(timer_verbose=True)
     t0 = time.time()
-    res = solve(problem, opts)  # warm (compile cached)
+    with contextlib.redirect_stdout(sys.stderr):
+        res = solve(problem, opts_t)
     t_warm = time.time() - t0
     log(
         f"[tpu] {res.status_string}; obj={res.objval:.4f} gap={res.gap:.2e} "

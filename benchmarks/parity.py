@@ -171,6 +171,9 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--time-limit", type=float, default=300.0)
     ap.add_argument("--out", default="parity.csv")
+    ap.add_argument("--no-warm-rerun", action="store_true",
+                    help="record the first (compile-contaminated) run "
+                    "instead of re-solving once the XLA cache is warm")
     ap.add_argument("--backend", default="",
                     help="force a jax platform (e.g. 'cpu'); NOTE the env "
                     "vars JAX_PLATFORMS/JAX_PLATFORM_NAME are ignored by "
@@ -231,6 +234,23 @@ def main():
             print(f"{name}: CRASH {type(e).__name__}: {e}", flush=True)
             continue
         dt = time.time() - t0
+        # Warm rerun: the first solve of a geometry pays XLA compiles
+        # (minutes on the axon backend — it can eat the whole time limit
+        # and turn a solvable instance into a bogus limit status).  When
+        # the first run was slow or hit a limit, re-solve with the
+        # compile cache now warm and record the warm run — the honest
+        # measurement of solver (not compiler) time.
+        if not args.no_warm_rerun and (res.status in (2, 3) or dt > 30.0):
+            t0 = time.time()
+            try:
+                res2 = solve(problem, opts)
+                dt2 = time.time() - t0
+                print(f"{name}: warm rerun st={res2.status} t={dt2:.1f}s "
+                      f"(first st={res.status} t={dt:.1f}s)", flush=True)
+                res, dt = res2, dt2
+            except Exception as e:
+                print(f"{name}: warm rerun CRASH {type(e).__name__}: {e}",
+                      flush=True)
         lin, psd = violations(res, problem)
         # drop this instance's compiled executables: a sweep accumulates
         # programs + device buffers per geometry, and the axon worker

@@ -1376,7 +1376,7 @@ def solve(
     # report, timer_file writes time.log; an XLA profiler trace can be
     # captured with PROXSDP_TPU_TRACE_DIR.
     timers = {"setup": time.time() - t0, "f32 loop": 0.0, "f64 loop": 0.0,
-              "host sync": 0.0, "finalize": 0.0}
+              "host sync": 0.0, "snapshot": 0.0, "finalize": 0.0}
     chunk_counts = {"f32": 0, "f64": 0}
     trace_dir = os.environ.get("PROXSDP_TPU_TRACE_DIR")
     if trace_dir:
@@ -1484,12 +1484,20 @@ def solve(
             # O(log(initial/final score))
             score = max(sc["gap"], sc["feas"])
             if np.isfinite(score) and score < 0.95 * best_ctx["score"]:
+                t_snap = time.time()
                 best_ctx["score"] = score
-                best_ctx["full"] = jax.tree_util.tree_map(np.asarray, state)
+                # one batched D2H (copy_to_host_async per leaf, single
+                # barrier) — sequential np.asarray per leaf costs a full
+                # tunnel round-trip each and dominated warm solves
+                leaves, treedef = jax.tree_util.tree_flatten(state)
+                best_ctx["full"] = jax.tree_util.tree_unflatten(
+                    treedef, jax.device_get(leaves)
+                )
                 best_ctx["tag"] = (phase32, polish_ctx["k_sub"])
                 best_ctx["snap"] = {
                     f: getattr(best_ctx["full"], f) for f in _SNAP_FIELDS
                 }
+                timers["snapshot"] += time.time() - t_snap
 
         if opts.log_verbose and k >= log_next:
             dfeas = None

@@ -56,6 +56,59 @@ def soc_projection_block(block):
     return jnp.concatenate([new_s[None], new_v])
 
 
+POLAR_QA, POLAR_QB, POLAR_QC = 3.4445, -4.7750, 2.0315
+
+
+def polar_psd(X, side: int, *, aggressive: int, polish: int, dtype=None):
+    """PSD projection via a Newton-Schulz matrix-sign iteration.
+
+    proj_PSD(X) = (X + sign(X) X) / 2.  sign(X) is built with a FIXED
+    schedule of matmul-only polynomial steps: `aggressive` quintic steps
+    (Muon/Polar-Express coefficients — small-eigenvalue growth factor
+    ~3.44/step) then `polish` cubic Newton-Schulz steps (quadratic
+    convergence to +-1).  Unlike eigh — whose latency on the TPU backend
+    is wildly data-dependent (measured 0.45ms..322ms at side 250
+    depending on the spectrum) — this costs a deterministic
+    ~(3*aggressive + 2*polish + 1) matmuls on the MXU.
+
+    Eigenvalues below ~delta * ||X||_F are projected inexactly (error
+    <= |lambda|); with the default schedule (7, 4) delta ~= 9e-5, which
+    is the design point of the f32 race phase (the reference's own
+    thesis is inexact projections with controlled error,
+    arXiv:1810.05231; the f64 phase re-projects exactly).
+
+    Returns (Xp, rank_estimate) where rank = trace((I + sign)/2).
+    """
+    ct = dtype or X.dtype
+    Xc = X.astype(ct)
+    with jax.default_matmul_precision("float32"):
+        s = jnp.sqrt(jnp.sum(Xc * Xc)) + jnp.asarray(1e-30, ct)
+        Y = Xc / s
+        for _ in range(aggressive):
+            A = Y @ Y
+            B = POLAR_QB * A + POLAR_QC * (A @ A)
+            Y = POLAR_QA * Y + Y @ B
+        for _ in range(polish):
+            A = Y @ Y
+            Y = 1.5 * Y - 0.5 * (Y @ A)
+        S = 0.5 * (Y + Y.T)
+        P = 0.5 * (Xc + S @ Xc)
+        Xp = 0.5 * (P + P.T)
+        rank = 0.5 * (side + jnp.trace(S))
+    # sanitize: the iteration is contractive for ||Y0||_2 <= 1 (guaranteed
+    # by Frobenius scaling), but f32 edge cases are cheap to guard against;
+    # a bad step passes X through unprojected (same NaN-guard policy as the
+    # batch subspace mode) and the solver's divergence watchdog owns it
+    bad = ~jnp.all(jnp.isfinite(Xp))
+    Xp = jnp.where(bad, Xc, Xp)
+    return (
+        Xp.astype(X.dtype),
+        jnp.where(bad, side, jnp.clip(jnp.round(rank), 0, side)).astype(
+            jnp.int32
+        ),
+    )
+
+
 class PsdProjResult(NamedTuple):
     block: jax.Array  # projected packed triangle
     min_eig: jax.Array  # smallest eigenvalue "seen" (reference semantics)
@@ -264,6 +317,63 @@ def psd_projection_block(
                 # new warm basis: Ritz vectors, dominant first
                 return Xp, me, cur, W[:, ::-1], jnp.asarray(False)
 
+            def polar_reseed(X):
+                # matmul-only fallback (race programs): compute the FULL
+                # Newton-Schulz polar projection of X — exact to NS
+                # accuracy (~1e-5 * ||X||_F) independent of the subspace
+                # rank, exactly the role the dense-eigh fallback plays —
+                # and refresh the warm basis from the sign projector's
+                # range: sign(X) maps the positive eigenspace to
+                # eigenvalue 1, so ONE application of P+ = (I+S)/2 to the
+                # old basis converges the subspace (unit spectral gap).
+                # The last column is steered into the NEGATIVE space so
+                # the covers test (min theta <= tol_psd) can hold next
+                # iteration.  No eigh anywhere — deterministic
+                # ~(3*aggressive+2*polish+5) MXU matmuls vs the dense
+                # eigh's data-dependent 0.45..322ms.
+                Xb32 = X.astype(bdt)
+                with jax.default_matmul_precision("float32"):
+                    sF = jnp.sqrt(jnp.sum(Xb32 * Xb32)) + jnp.asarray(
+                        1e-30, bdt
+                    )
+                    Y = Xb32 / sF
+                    for _ in range(opt.polar_aggressive):
+                        A2 = Y @ Y
+                        Bq = POLAR_QB * A2 + POLAR_QC * (A2 @ A2)
+                        Y = POLAR_QA * Y + Y @ Bq
+                    for _ in range(opt.polar_polish):
+                        A2 = Y @ Y
+                        Y = 1.5 * Y - 0.5 * (Y @ A2)
+                    Sgn = 0.5 * (Y + Y.T)
+                    Pp = 0.5 * (Xb32 + Sgn @ Xb32)  # full polar projection
+                    Xp2_b = 0.5 * (Pp + Pp.T)
+                    wb = warm.astype(bdt)
+                    Zp = 0.5 * (wb + Sgn @ wb)  # P+ @ warm
+                    zn = 0.5 * (wb[:, -1] - Sgn @ wb[:, -1])  # P- @ last
+                    Z = jnp.concatenate([Zp[:, :-1], zn[:, None]], axis=1)
+                    # rank-deficient Z columns are rescued by _cholqr2's
+                    # trace-scaled jitter
+                    Qn = _cholqr2(Z)
+                    rank2 = 0.5 * (side + jnp.trace(Sgn))
+                Xp2 = Xp2_b.astype(dtype)
+                bad2 = ~jnp.all(jnp.isfinite(Xp2))
+                Xp2 = jnp.where(bad2, X, Xp2)
+                # full-path bookkeeping semantics (prox_operators.jl:114)
+                me2 = jnp.asarray(0.0, dtype)
+                cur2 = jnp.where(
+                    bad2, side, jnp.clip(jnp.round(rank2), 0, side)
+                ).astype(jnp.int32)
+                wv2 = jnp.where(bad2, warm, Qn.astype(dtype))
+                # 4-tuple like full_path_sub; the cond wrapper appends
+                # used_full=True ("a fallback/reseed ran this iteration")
+                return Xp2, me2, cur2, wv2
+
+            fallback_fn = (
+                polar_reseed
+                if getattr(opt, "subspace_fallback", "eigh") == "polar"
+                else full_path_sub
+            )
+
             if getattr(opt, "subspace_accept_always", False):
                 # batch/vmap mode: no dense-eigh fallback inside the
                 # program (under vmap lax.cond becomes select and would
@@ -281,13 +391,33 @@ def psd_projection_block(
             out = jax.lax.cond(
                 conv_ok,
                 reconstruct,
-                lambda _: full_path_sub(X) + (jnp.asarray(True),),
+                lambda _: fallback_fn(X) + (jnp.asarray(True),),
                 operand=None,
             )
             return out + (stats,)
 
         Xp, me, cur, wv, uf, stats = subspace_path(X)
         return PsdProjResult(square_to_tri(Xp, side), me, cur, wv, uf, stats)
+
+    # matmul-only polar projection (see polar_psd): deterministic latency,
+    # no data-dependent eigh in the loop.  Engaged by the hybrid driver
+    # for the f32 race phase (projection="polar"); inexact below
+    # ~1e-4 * ||X||_F, which the f64 phase re-projects exactly.
+    if (
+        getattr(opt, "projection", "auto") == "polar"
+        and side >= opt.polar_min_side
+    ):
+        Xp, rank = polar_psd(
+            X, side, aggressive=opt.polar_aggressive, polish=opt.polar_polish
+        )
+        return PsdProjResult(
+            block=square_to_tri(Xp, side),
+            min_eig=jnp.asarray(0.0, dtype),  # full-path semantics
+            current_rank=rank,
+            warm=warm,
+            used_full=jnp.asarray(False),
+            sub_stats=jnp.zeros((3,), dtype),
+        )
 
     use_lz = (
         allow_lanczos

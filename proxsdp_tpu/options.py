@@ -316,6 +316,27 @@ class Options:
     # ms/iter f32 cost at side 250; the subspace step is ~0.35 ms).
     race_subspace: bool = True
     race_subspace_warmup: int = 100
+    # PSD projection engine for the dense (non-subspace) path:
+    #   "auto"  — dense eigh, except the hybrid driver switches the f32
+    #             race program to "polar" for sides >= polar_min_side
+    #   "eigh"  — always the dense eigenvalue projection
+    #   "polar" — matmul-only Newton-Schulz matrix-sign projection
+    #             (ops/cones.py:polar_psd): fixed ~(3*polar_aggressive +
+    #             2*polar_polish + 1) MXU matmuls, immune to eigh's
+    #             data-dependent latency (measured 0.45ms..322ms at side
+    #             250 on the axon backend depending on the spectrum).
+    #             Inexact below ~9e-5 * ||X||_F with the default schedule
+    #             — race-phase accuracy class; the f64 phase re-projects.
+    projection: str = "auto"
+    polar_aggressive: int = 7  # quintic steps (small-eig growth ~3.44x)
+    polar_polish: int = 4  # cubic Newton-Schulz steps (quadratic finish)
+    polar_min_side: int = 100  # below this the dense eigh is cheap anyway
+    # Subspace-mode rejected-step fallback: "eigh" (dense eigenvalue
+    # reseed — exactness anchor, default; the f64 polish keeps this) or
+    # "polar" (Newton-Schulz sign projector rebuilds the basis + fresh
+    # Rayleigh-Ritz — matmul-only; the hybrid driver sets this for the
+    # f32 race program when projection="auto").
+    subspace_fallback: str = "eigh"
     # Guard width added to the observed rank when the driver sizes the
     # polish subspace.
     polish_subspace_guard: int = 8

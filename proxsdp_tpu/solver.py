@@ -1235,6 +1235,13 @@ def solve(
     hybrid = opts.dtype == "float64" and opts.hybrid_precision
     if hybrid:
         opts32 = opts.replace(dtype="float32")
+        if opts.projection == "auto":
+            # race phase: matmul-only polar projection — deterministic
+            # latency vs eigh's data-dependent 0.45..322ms (cones.py);
+            # subspace-mode rejections also reseed via the sign projector
+            opts32 = opts32.replace(
+                projection="polar", subspace_fallback="polar"
+            )
         operands32 = make_operands(jnp.float32)
         run_chunk32, _, fetch32 = _cached_runner(layout, opts32)
         state = init_state(layout, opts32, setup, warm=warm)
@@ -1311,11 +1318,19 @@ def solve(
     # per-call dispatch latency (dominant when the TPU sits behind a
     # network tunnel).
     if opts.chunk_iters:
-        chunk = opts.chunk_iters
+        chunk = chunk_cap = opts.chunk_iters
     elif opts.log_verbose:
-        chunk = max(min(opts.log_freq, 1024), opts.convergence_check)
+        chunk = chunk_cap = max(
+            min(opts.log_freq, 1024), opts.convergence_check
+        )
     else:
+        # non-verbose: let measured-rate chunks grow well past the first
+        # guess — the device loop exits the chunk the moment status
+        # flips, so oversized chunks cost nothing, while each chunk
+        # boundary costs a host sync over the device tunnel; the ~15s
+        # execution-time target below still bounds worker-deadline risk
         chunk = 1024
+        chunk_cap = 8192
     # adaptive chunk controller: a single XLA execution that runs for
     # minutes starves wall-clock checks AND can trip the axon tunnel's
     # execution deadline (measured: side-500 dense-f32 chunks of 1024
@@ -1323,7 +1338,7 @@ def solve(
     # chunks solve the same instance).  Target ~15 s per execution,
     # measured from the second chunk of each program (the first includes
     # compile time).  chunk_end is a traced operand, so resizing is free.
-    chunk_max = chunk
+    chunk_max = chunk_cap
     chunk_target_s = 15.0
     chunk_meas = {"per_iter": None, "skip_next": True}
     # cold-start chunk: bound the first executions by a crude per-iteration
@@ -1331,7 +1346,17 @@ def solve(
     # fault the worker before the first rate measurement exists
     est_iter_s = 3e-10 * sum(sd**3 for sd in layout.sdp_sides) + 1e-5
     chunk0 = int(min(max(chunk_target_s / est_iter_s, 20), 256))
-    chunk = min(chunk, chunk0)
+    # f64 programs can hit data-dependent dense-eigh iterations ~10x the
+    # cost model (measured eigh 0.45..322ms at side 250 depending on the
+    # spectrum): size their COLD chunks so even a 10x-slow chunk stays
+    # far from the worker's ~60s execution deadline (measured faults:
+    # mcp500-1/-4 f64 chunks of 256 iterations).  Once a real rate is
+    # measured the adaptive controller takes over.
+    chunk0_cons = int(min(max(chunk_target_s / (10 * est_iter_s), 20), 256))
+    chunk = min(chunk, chunk0 if (opts.dtype == "float32" or
+                                  (opts.hybrid_precision and
+                                   opts.dtype == "float64"))
+                else chunk0_cons)
     log_next = opts.log_freq
     ckpt_next = opts.checkpoint_freq
 
@@ -1456,7 +1481,7 @@ def solve(
             dt_chunk = time.time() - t_chunk
             ran = target - k0
             if chunk_meas["skip_next"]:
-                chunk = min(chunk, chunk0)
+                chunk = min(chunk, chunk0_cons)
                 # first execution of a (possibly fresh) program: compile
                 # time pollutes the measurement
                 chunk_meas["skip_next"] = False
@@ -1564,7 +1589,7 @@ def solve(
                 state = _cast_state(state, jnp.float64)
                 chunk_meas["skip_next"] = True
                 chunk_meas["per_iter"] = None  # f64 rate differs from f32
-                chunk = min(chunk, chunk0)
+                chunk = min(chunk, chunk0_cons)
                 # f64 polish program: persistent-subspace projection sized
                 # from the rank the f32 phase observed (bucketed to bound
                 # the number of compiled variants)
@@ -1584,7 +1609,7 @@ def solve(
                         )
                         chunk_meas["skip_next"] = True
                         chunk_meas["per_iter"] = None
-                        chunk = min(chunk, chunk0)
+                        chunk = min(chunk, chunk0_cons)
                         state = _seed_subspace_warm(
                             state, specs, k_sub, jnp.float64
                         )
@@ -1771,7 +1796,7 @@ def solve(
                     )
                     chunk_meas["skip_next"] = True
                     chunk_meas["per_iter"] = None
-                    chunk = min(chunk, chunk0)
+                    chunk = min(chunk, chunk0_cons)
                     state = _seed_subspace_warm(
                         state, specs, k_new, jnp.float64
                     )
@@ -1787,7 +1812,7 @@ def solve(
                     run_chunk, _, fetch = _cached_runner(layout, opts)
                     chunk_meas["skip_next"] = True
                     chunk_meas["per_iter"] = None
-                    chunk = min(chunk, chunk0)
+                    chunk = min(chunk, chunk0_cons)
                     state = state._replace(
                         warm=tuple(
                             jnp.asarray(np.asarray(w)[:, 0], jnp.float64)
@@ -1878,7 +1903,7 @@ def solve(
                         "entries": cert_ctx["entries"],
                     }
                     chunk_meas["skip_next"] = True
-                    chunk = min(chunk, chunk0)
+                    chunk = min(chunk, chunk0_cons)
                     if opts.log_verbose:
                         print(
                             "  [cert] no ray found: resuming the solve "

@@ -239,3 +239,62 @@ class TestLanczos:
         assert int(res.current_rank) == 2
         # min_eig is the smallest computed Ritz value among target_rank
         assert float(res.min_eig) < opts.tol_psd or float(res.min_eig) > 0
+
+
+class TestPolar:
+    """Newton-Schulz polar PSD projection (ops/cones.py:polar_psd) — the
+    matmul-only race-phase engine (no reference counterpart; replaces the
+    dense eigh whose backend latency is data-dependent)."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.RandomState(7)
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+    def test_matches_oracle(self, rng, dtype):
+        from proxsdp_tpu.ops.cones import polar_psd
+
+        n = 120
+        V = np.linalg.qr(rng.randn(n, n))[0]
+        for spec in (
+            np.linspace(-1, 1, n),
+            np.concatenate([np.linspace(0.1, 2.0, 10), -np.abs(rng.randn(n - 10))]),
+            rng.randn(n) * 3,
+        ):
+            X = (V * spec) @ V.T
+            Xp, rank = polar_psd(jnp.asarray(X, dtype), n, aggressive=7, polish=4)
+            want = (V * np.maximum(spec, 0)) @ V.T
+            scale = np.abs(spec).max()
+            err = np.abs(np.asarray(Xp, np.float64) - want).max() / scale
+            assert err < 5e-5, err
+            assert int(rank) == int((spec > 0).sum())
+
+    def test_tiny_eigenvalues_bounded_error(self, rng):
+        """Eigenvalues below the sign threshold project with error <= |lam|
+        (soft-thresholding, never amplification)."""
+        from proxsdp_tpu.ops.cones import polar_psd
+
+        n = 100
+        V = np.linalg.qr(rng.randn(n, n))[0]
+        spec = np.concatenate([np.linspace(0.5, 1, 10), 1e-6 * rng.randn(n - 10)])
+        X = (V * spec) @ V.T
+        Xp, _ = polar_psd(jnp.asarray(X), n, aggressive=7, polish=4)
+        want = (V * np.maximum(spec, 0)) @ V.T
+        assert np.abs(np.asarray(Xp) - want).max() < 1e-5
+
+    def test_projection_block_polar_mode(self, rng):
+        """projection='polar' engages in psd_projection_block for sides >=
+        polar_min_side and reports full-path min_eig semantics."""
+        side = 110
+        opts = Options(projection="polar", polar_min_side=100)
+        A = rng.randn(side, side)
+        A = (A + A.T) / 2
+        v = np.asarray(square_to_tri(jnp.asarray(A), side))
+        res = psd_projection_block(
+            jnp.asarray(v), side, jnp.asarray(2, jnp.int32),
+            jnp.asarray(rng.randn(side)), opt=opts, allow_lanczos=False,
+        )
+        got = np.asarray(tri_to_square(res.block, side))
+        assert np.abs(got - psd_oracle(A)).max() < 5e-4 * np.abs(A).max()
+        assert float(res.min_eig) == 0.0
+        assert not bool(res.used_full)

@@ -72,12 +72,16 @@ def run_tpu_solver(path):
 def numpy_reference_proxy(path, rank, iters=60):
     """Per-iteration wall time of reference-style single-process math.
 
-    Best-foot-forward baseline: takes the MINIMUM over 3 timed
-    repetitions at BOTH 1 BLAS thread and the default thread count, and
-    reports the faster of the two (on small cores oversubscribed BLAS is
-    slower than 1 thread; on big cores the reverse — the reference gets
-    whichever favors it).  The minimum-over-reps makes the estimate
-    insensitive to transient host load."""
+    Measurement protocol (frozen; BASELINE.md "Proxy protocol"):
+      * two arms — 1 BLAS thread with CPU affinity pinned to one core
+        (the reference is a single-core Julia process), and the default
+        thread count with full affinity (the reference gets whichever
+        favors it);
+      * MEDIAN of BENCH_PROXY_REPS (default 5) repetitions per arm —
+        best-of-N was observed to swing the baseline ~30x run-to-run on
+        this box (BENCH_r03: 3.1..104.7 ms/iter within one run), so the
+        median is the defensible central estimate; the faster arm's
+        median is the baseline."""
     try:
         from threadpoolctl import threadpool_limits
     except Exception:
@@ -86,12 +90,28 @@ def numpy_reference_proxy(path, rank, iters=60):
         def threadpool_limits(limits):  # noqa: ANN001
             return contextlib.nullcontext()
 
+    import statistics
+
     n_iters = max(iters // 2, 20)
-    with threadpool_limits(limits=1):
-        t1 = min(_proxy_once(path, rank, iters=n_iters) for _ in range(3))
-    td = min(_proxy_once(path, rank, iters=n_iters) for _ in range(3))
-    log(f"[proxy] 1-thread {t1*1e3:.1f} ms/iter, default-threads "
-        f"{td*1e3:.1f} ms/iter -> using {min(t1, td)*1e3:.1f}")
+    reps = int(os.environ.get("BENCH_PROXY_REPS", "5"))
+    affinity = None
+    if hasattr(os, "sched_getaffinity"):
+        affinity = os.sched_getaffinity(0)
+    try:
+        if affinity:
+            os.sched_setaffinity(0, {min(affinity)})
+        with threadpool_limits(limits=1):
+            t1 = statistics.median(
+                _proxy_once(path, rank, iters=n_iters) for _ in range(reps)
+            )
+    finally:
+        if affinity:
+            os.sched_setaffinity(0, affinity)
+    td = statistics.median(
+        _proxy_once(path, rank, iters=n_iters) for _ in range(reps)
+    )
+    log(f"[proxy] median-of-{reps}: 1-thread(pinned) {t1*1e3:.1f} ms/iter, "
+        f"default-threads {td*1e3:.1f} ms/iter -> using {min(t1, td)*1e3:.1f}")
     return min(t1, td)
 
 

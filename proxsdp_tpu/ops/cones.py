@@ -231,9 +231,14 @@ def psd_projection_block(
             # serialization on device)
             def one(Yc):
                 G = Yc.T @ Yc
-                jit_eps = jnp.asarray(1e-12 if not mixed else 1e-6, bdt) * (
-                    jnp.trace(G) / k_sub + 1.0
-                )
+                # jitter keyed off the COMPUTE dtype: an f32 Gram+Cholesky
+                # needs ~1e-6-relative regularization (f32 eps is 1.2e-7;
+                # 1e-12 underflows the pivot and the factor goes NaN —
+                # measured: the f32 race subspace rejected 100% of its
+                # iterations through round 3 because of exactly this)
+                jit_eps = jnp.asarray(
+                    1e-6 if bdt == jnp.float32 else 1e-12, bdt
+                ) * (jnp.trace(G) / k_sub + 1.0)
                 R = jnp.linalg.cholesky(G + jit_eps * jnp.eye(k_sub, dtype=bdt))
                 Q = jax.scipy.linalg.solve_triangular(
                     R, Yc.T, lower=True

@@ -1403,6 +1403,17 @@ def solve(
     timers = {"setup": time.time() - t0, "f32 loop": 0.0, "f64 loop": 0.0,
               "host sync": 0.0, "snapshot": 0.0, "finalize": 0.0}
     chunk_counts = {"f32": 0, "f64": 0}
+    # fallback attribution: projection fallbacks counted during the f32
+    # race are matmul-only polar reseeds when the race program's
+    # subspace_fallback is "polar" — NOT dense eighs; record the counter
+    # at the phase hand-over so the report can split them honestly
+    fb_ctx = {
+        "f32": 0,
+        "f32_is_polar": bool(
+            hybrid
+            and getattr(opts32, "subspace_fallback", "eigh") == "polar"
+        ),
+    }
     trace_dir = os.environ.get("PROXSDP_TPU_TRACE_DIR")
     if trace_dir:
         try:
@@ -1578,6 +1589,7 @@ def solve(
                 if opts.log_verbose:
                     print(f"  [hybrid] f32 -> f64 at iter {k} "
                           f"(st={st}, stalled={stalled}, nan={blew_up})")
+                fb_ctx["f32"] = sc["proj_fallbacks"]
                 if blew_up:
                     # f32 phase diverged to NaN/Inf: restart clean in f64
                     # rather than polluting the f64 phase with NaN state
@@ -2092,6 +2104,7 @@ def solve(
         res.iter = total_k  # total iterations run (the snapshot override
         # above may have rewound state.iter to index the ring buffers)
 
+    _annotate_limit_feas(res, setup, opts)
     timers["finalize"] = time.time() - t0 - sum(
         v for k_, v in timers.items() if k_ != "finalize"
     )
@@ -2102,7 +2115,8 @@ def solve(
             pass
     if opts.timer_verbose or opts.timer_file:
         report = _timer_report(
-            timers, chunk_counts, res, int(np.asarray(state.proj_fallbacks))
+            timers, chunk_counts, res, int(np.asarray(state.proj_fallbacks)),
+            fb_ctx,
         )
         if opts.timer_verbose:
             print(report)
@@ -2232,7 +2246,9 @@ def _solve_with_beq_probe(problem, opts: Options, t0: float) -> Result:
     return solve(problem, final_opts, warm_start=warm)
 
 
-def _timer_report(timers, chunk_counts, res, proj_fallbacks: int = -1) -> str:
+def _timer_report(
+    timers, chunk_counts, res, proj_fallbacks: int = -1, fb_ctx=None
+) -> str:
     """Phase-timing report (reference: TimerOutputs print, MOI_wrapper.jl:317-330)."""
     total = sum(timers.values())
     lines = [
@@ -2250,8 +2266,18 @@ def _timer_report(timers, chunk_counts, res, proj_fallbacks: int = -1) -> str:
     lines.append("-" * 58)
     tail = f"  total {total:.3f}s  iters={res.iter}"
     if proj_fallbacks >= 0 and res.iter > 0:
-        tail += (f"  proj dense-eigh iters={proj_fallbacks}"
-                 f" ({proj_fallbacks / max(res.iter, 1):.1%})")
+        f32_fb = (fb_ctx or {}).get("f32", 0)
+        f32_polar = (fb_ctx or {}).get("f32_is_polar", False)
+        f64_fb = max(proj_fallbacks - f32_fb, 0)
+        if f32_fb and f32_polar:
+            # f32-race fallbacks are Newton-Schulz polar reseeds (all
+            # matmuls, no eigh anywhere in that program)
+            tail += (f"  proj fallbacks: f32 polar-reseed={f32_fb}, "
+                     f"dense-eigh={f64_fb} "
+                     f"({f64_fb / max(res.iter, 1):.1%} of iters)")
+        else:
+            tail += (f"  proj dense-eigh iters={proj_fallbacks}"
+                     f" ({proj_fallbacks / max(res.iter, 1):.1%})")
     lines.append(tail)
     return "\n".join(lines)
 
@@ -2432,6 +2458,39 @@ def _check_certificate(sc, state, setup, opts: Options, mode: int, st: int = 0):
     return False, False, ""
 
 
+def _annotate_limit_feas(res: Result, setup, opts: Options) -> Result:
+    """Flag constraint-violating "best iterates" in the status string.
+
+    At a limit/demoted status (2/3/4) the returned point is the
+    best-scored iterate the trajectory passed through, but on hard
+    instances that can still violate the linear constraints by O(1)
+    (observed: SDPLIB truss8 lin_viol 6.8 under "Time limit hit").  The
+    reference returns its cached solution at limits (pdhg.jl:335-382);
+    unlike it, we tell the user when that point is not a near-solution:
+    user-unit relative linear violation > 10x tol_feasibility appends
+    "(infeasible iterate, lin_viol=...)" so the row cannot be mistaken
+    for a near-feasible answer.
+    """
+    if res.status not in (2, 3, 4) or res.primal.size == 0:
+        return res
+    viol = 0.0
+    if res.slack_eq.size:
+        viol = float(np.abs(res.slack_eq).max()) / (
+            1.0 + float(np.abs(setup.b_orig).max(initial=0.0))
+        )
+    if res.slack_in.size:
+        viol = max(
+            viol,
+            float(np.maximum(res.slack_in, 0.0).max())
+            / (1.0 + float(np.abs(setup.h_orig).max(initial=0.0))),
+        )
+    if viol > 10 * opts.tol_feasibility and (
+        "(infeasible iterate" not in res.status_string
+    ):
+        res.status_string += f" (infeasible iterate, lin_viol={viol:.1e})"
+    return res
+
+
 def _cache_solution(
     state: State,
     setup: SetupProblem,
@@ -2445,12 +2504,21 @@ def _cache_solution(
 ) -> Result:
     """Unscale, recover duals/slacks, build Result (pdhg.jl:745-787)."""
     layout = setup.layout
-    k = int(state.iter)
-    L = state.buf_gap.shape[0]
+    # ONE batched device->host transfer for every field read below:
+    # sequential np.asarray / float(buf[i]) reads each cost a full tunnel
+    # round-trip (~30-50 ms on axon) and dominated the finalize phase
+    (x_d, y_d, buf_prim_obj, buf_dual_obj, buf_gap, buf_pres, buf_dres,
+     buf_feas, cur_rank, k) = jax.device_get([
+        state.x, state.y, state.buf_prim_obj, state.buf_dual_obj,
+        state.buf_gap, state.buf_pres, state.buf_dres, state.buf_feas,
+        state.current_rank, state.iter,
+    ])
+    k = int(k)
+    L = buf_gap.shape[0]
     i = (k - 1) % L
 
-    x = np.asarray(state.x, np.float64)
-    y = np.asarray(state.y, np.float64)
+    x = np.asarray(x_d, np.float64)
+    y = np.asarray(y_d, np.float64)
     x = _fix_diag_scaling(x, layout, np.sqrt(2.0))
     if equil is not None:  # undo E M D preconditioning (pdhg.jl:752-755)
         x = equil.D * x
@@ -2484,8 +2552,8 @@ def _cache_solution(
     sense_mul = -1.0 if setup.objective_sense == "max" else 1.0
     # buf_prim_obj / buf_dual_obj are already user-unit (the residual
     # kernel multiplies by obj_scale)
-    objval = float(state.buf_prim_obj[i])
-    dual_objval = float(state.buf_dual_obj[i])
+    objval = float(buf_prim_obj[i])
+    dual_objval = float(buf_dual_obj[i])
 
     return Result(
         status=status,
@@ -2499,15 +2567,15 @@ def _cache_solution(
         # the PPA residuals, matching the reference's Residuals semantics
         # (residuals.jl:46-55); equality/inequality feasibility are exposed
         # separately via slacks and primal_feasible_user_tol
-        primal_residual=float(state.buf_pres[i]),
-        dual_residual=float(state.buf_dres[i]),
+        primal_residual=float(buf_pres[i]),
+        dual_residual=float(buf_dres[i]),
         objval=sense_mul * objval + setup.objective_constant,
         dual_objval=sense_mul * dual_objval + setup.objective_constant,
-        gap=float(state.buf_gap[i]),
+        gap=float(buf_gap[i]),
         time=time.time() - t0,
         iter=k,
-        final_rank=int(np.sum(np.asarray(state.current_rank))),
-        primal_feasible_user_tol=float(state.buf_feas[i]) <= opts.tol_feasibility,
+        final_rank=int(np.sum(cur_rank)),
+        primal_feasible_user_tol=float(buf_feas[i]) <= opts.tol_feasibility,
         dual_feasible_user_tol=dual_feasibility <= opts.tol_feasibility_dual,
         certificate_found=certificate_found,
         result_count=1,

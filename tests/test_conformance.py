@@ -791,6 +791,58 @@ class TestCvxpyInterface:
         val = solve_cvxpy_problem(prob, tol_gap=1e-6, tol_feasibility=1e-6)
         assert abs(val - 5.0) < 1e-3
 
+    def test_fake_soc_dual_round_trip(self, monkeypatch):
+        """SOC dual through unpack_results: min t s.t. ||(3,4)|| <= t has
+        the unique SCS dual y = (1, -3/5, -4/5) (A'y + c = 0, y in SOC,
+        dual obj -b'y = 5)."""
+        from tests import _fake_cvxpy as fc
+
+        fc.install(monkeypatch)
+        from proxsdp_tpu.cvxpy_interface import solve_cvxpy_problem
+
+        prob = fc.soc_scs_problem()
+        solve_cvxpy_problem(prob, tol_gap=1e-6, tol_feasibility=1e-6)
+        y = np.asarray(prob.unpacked.dual_vars["y"])
+        assert np.allclose(y, [1.0, -0.6, -0.8], atol=1e-3), y
+        # SCS dual feasibility/optimality identities
+        A = prob._data["A"].toarray()
+        c, b = prob._data["c"], prob._data["b"]
+        assert np.abs(A.T @ y + c).max() < 1e-3  # stationarity
+        assert abs(-(b @ y) - 5.0) < 1e-2  # strong duality
+
+    def test_fake_maxcut_psd_dual_round_trip(self, monkeypatch):
+        """PSD dual through unpack_results (the maxcut SDP): with rows
+        [A_eq; -I] and free x, stationarity forces y_psd = c + A_eq'y_eq,
+        which must be PSD (in SCS sqrt2 packing), and -b'y must equal the
+        primal objective (strong duality at tol)."""
+        from tests import _fake_cvxpy as fc
+
+        fc.install(monkeypatch)
+        from proxsdp_tpu.cvxpy_interface import solve_cvxpy_problem
+
+        W = np.array(
+            [[18.0, -5, -7, -6], [-5, 6, 0, -1], [-7, 0, 8, -1],
+             [-6, -1, -1, 8]]
+        )
+        prob, tri = fc.maxcut_scs_problem(W)
+        val = solve_cvxpy_problem(prob, tol_gap=1e-6, tol_feasibility=1e-6)
+        y = np.asarray(prob.unpacked.dual_vars["y"])
+        A = np.asarray(prob._data["A"].todense())
+        c, b = prob._data["c"], prob._data["b"]
+        # stationarity of the free primal variable
+        assert np.abs(A.T @ y + c).max() < 5e-3
+        # the PSD-row dual, unscaled from SCS packing, is a PSD matrix
+        n = W.shape[0]
+        y_psd = y[n:]
+        S = np.zeros((n, n))
+        for k, (i, j) in enumerate(tri):
+            v = y_psd[k] if i == j else y_psd[k] / np.sqrt(2.0)
+            S[i, j] = S[j, i] = v
+        assert np.linalg.eigvalsh(S).min() > -1e-4
+        # strong duality: SCS dual objective -b'y equals the SCS-form
+        # primal objective (= -val, the fake's maximize sign flip)
+        assert abs(-(b @ y) - (-val)) < 5e-2
+
     def test_fake_infeasible_failure_solution(self, monkeypatch):
         from tests import _fake_cvxpy as fc
 

@@ -448,6 +448,25 @@ class TestOptions:
         assert res.iter == 37, res.iter
         assert np.isfinite(res.objval)
 
+    def test_limit_status_flags_infeasible_iterate(self):
+        """A limit status whose returned point violates the linear
+        constraints by > 10x tol_feasibility must say so in the status
+        string, so a truss8-style "Time limit hit" row cannot be read as
+        a near-solution (reference pdhg.jl:335-382 returns its cached
+        point silently; we annotate)."""
+        opt, _ = build_maxcut_opt(max_iter=1, min_iter=0)
+        res = opt.optimize()
+        assert res.status == 3
+        # one iteration from the cold start cannot satisfy X_ii = 1
+        assert "(infeasible iterate, lin_viol=" in res.status_string
+
+    def test_limit_status_near_feasible_not_flagged(self):
+        """A limit hit at an already-near-feasible iterate stays clean."""
+        opt, _ = build_maxcut_opt(max_iter=600, tol_gap=1e-30)
+        res = opt.optimize()
+        assert res.status == 3
+        assert "(infeasible iterate" not in res.status_string
+
     def test_adaptive_restart_mode(self):
         """restart="adaptive" (PDLP-style restart-to-average; TPU-native
         extension, no reference counterpart) converges to the same

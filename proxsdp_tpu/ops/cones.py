@@ -157,7 +157,22 @@ def psd_projection_block(
             sub_stats=jnp.zeros((3,), dtype),
         )
 
-    X = tri_to_square(v_block, side)
+    # square-form layout (ConeLayout.square_form): the block IS the dense
+    # matrix — a free reshape replaces the tri<->square gathers that cost
+    # 623 us/iteration on mcp250-1 (52% of the whole PDHG step).  The
+    # symmetrize guards against rounding drift; iterates are symmetric by
+    # construction (c/Mty are symmetric embeds, projections return
+    # symmetric matrices).
+    square_in = v_block.shape[0] == side * side
+
+    def pack(Xp):
+        return Xp.reshape(-1) if square_in else square_to_tri(Xp, side)
+
+    if square_in:
+        X = v_block.reshape(side, side)
+        X = 0.5 * (X + X.T)
+    else:
+        X = tri_to_square(v_block, side)
 
     if opt.tp_shards > 0:
         # tensor-parallel: row-shard the dense block over the mesh's tp
@@ -402,7 +417,7 @@ def psd_projection_block(
             return out + (stats,)
 
         Xp, me, cur, wv, uf, stats = subspace_path(X)
-        return PsdProjResult(square_to_tri(Xp, side), me, cur, wv, uf, stats)
+        return PsdProjResult(pack(Xp), me, cur, wv, uf, stats)
 
     # matmul-only polar projection (see polar_psd): deterministic latency,
     # no data-dependent eigh in the loop.  Engaged by the hybrid driver
@@ -416,7 +431,7 @@ def psd_projection_block(
             X, side, aggressive=opt.polar_aggressive, polish=opt.polar_polish
         )
         return PsdProjResult(
-            block=square_to_tri(Xp, side),
+            block=pack(Xp),
             min_eig=jnp.asarray(0.0, dtype),  # full-path semantics
             current_rank=rank,
             warm=warm,
@@ -434,7 +449,7 @@ def psd_projection_block(
     if not use_lz:
         Xp, me, cur, wv = full_path(X)
         return PsdProjResult(
-            square_to_tri(Xp, side), me, cur, wv, jnp.asarray(True),
+            pack(Xp), me, cur, wv, jnp.asarray(True),
             jnp.zeros((3,), dtype),
         )
 
@@ -471,7 +486,7 @@ def psd_projection_block(
         pred, lanczos_path, lambda X: full_path(X) + (jnp.asarray(True),), X
     )
     return PsdProjResult(
-        square_to_tri(Xp, side), me, cur, wv, uf,
+        pack(Xp), me, cur, wv, uf,
         jnp.zeros((3,), dtype),
     )
 
@@ -511,7 +526,12 @@ def psd_projection_small_batch(v_blocks, side: int, *, opt):
     ):
         eig_dtype = jnp.float64
 
-    X = jax.vmap(lambda v: tri_to_square(v, side))(v_blocks)
+    square_in = v_blocks.shape[1] == side * side
+    if square_in:
+        X = v_blocks.reshape(B, side, side)
+        X = 0.5 * (X + jnp.swapaxes(X, 1, 2))
+    else:
+        X = jax.vmap(lambda v: tri_to_square(v, side))(v_blocks)
     w, V = jnp.linalg.eigh(X.astype(eig_dtype))  # (B, s), (B, s, s)
     pos = jnp.maximum(w, 0.0)
     Xp = jnp.einsum(
@@ -519,6 +539,9 @@ def psd_projection_small_batch(v_blocks, side: int, *, opt):
     ).astype(dtype)
     cur = jnp.sum(w > opt.tol_psd, axis=1).astype(jnp.int32)
     warm = V[:, :, -1].astype(dtype)
-    blocks = jax.vmap(lambda Xb: square_to_tri(Xb, side))(Xp)
+    if square_in:
+        blocks = Xp.reshape(B, side * side)
+    else:
+        blocks = jax.vmap(lambda Xb: square_to_tri(Xb, side))(Xp)
     zero = jnp.zeros((B,), dtype)
     return blocks, zero, cur, warm

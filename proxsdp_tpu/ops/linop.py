@@ -255,6 +255,11 @@ def build_linop(A, G, dtype, force: str | None = None, dense_limit: int = 1 << 2
     choice = force
     if choice is None:
         if on_tpu:
+            # f64: emulated matmuls make dense matvecs ~8x slower than the
+            # ELL gather form; f32: the MXU matvec wins (measured: the ELL
+            # scatter-based rmatvec cost +470 us/iteration on mcp250-1 vs
+            # dense).  The dense operand is MATERIALIZED ON DEVICE from
+            # COO triplets when ultra-sparse — see the dense branch below.
             if is_f64 and density < 0.02 and size > (1 << 16):
                 choice = "ell"
             else:
@@ -265,6 +270,26 @@ def build_linop(A, G, dtype, force: str | None = None, dense_limit: int = 1 << 2
             choice = "dense" if (size <= dense_limit or density > 0.25) else "ell"
 
     if choice == "dense":
+        if (
+            on_tpu
+            and density < 1e-3
+            and _sp is not None
+            and _sp.issparse(M)
+            and nnz > 0
+        ):
+            # ultra-sparse: materialize the dense operand ON DEVICE from
+            # the COO triplets (a KB-scale upload + one device scatter)
+            # instead of shipping the dense matrix over the tunnel —
+            # measured: mcp250-1's square-form M is 250x62500 with 250
+            # nnz; the 62 MB f32 host upload cost ~0.5 s of a 1.9 s warm
+            # solve, the triplet form is ~3 KB.
+            r, c_, v = _to_coo(M)
+            dense_dev = (
+                jnp.zeros((nrows, ncols), dtype=dtype)
+                .at[jnp.asarray(r), jnp.asarray(c_)]
+                .add(jnp.asarray(v, dtype=dtype))
+            )
+            return DenseOp(dense_dev)
         dense = M.toarray() if (_sp is not None and _sp.issparse(M)) else np.asarray(M)
         return DenseOp(jnp.asarray(dense, dtype=dtype))
 

@@ -247,6 +247,17 @@ class Options:
     # reference's CPU-era gating (Lanczos whenever side >
     # min_size_krylov_eigs and target_rank <= max_target_rank_krylov_eigs).
     full_eig_max_side: int = 1024
+    # Square-form device layout: store PSD blocks as full side*side
+    # matrices on device, folding the reference's packed-triangle
+    # isometry into A/G/c once on the host (problem.to_square_form).
+    # The tri<->square index maps lower to TPU gathers measured at 52%
+    # of the whole PDHG iteration on mcp250-1 (623 us of 1.2 ms); the
+    # square layout replaces them with free reshapes.  Exact unitary
+    # change of coordinates — same objective, norms and duals.  Costs
+    # ~2x HBM for the PSD segment of x (irrelevant at these sizes).
+    # Driver-level knob: does not change the compiled program for a
+    # given layout (the layout itself carries square_form).
+    square_form: bool = True
     # Mixed-precision projection: in f32 programs, run the PSD eigh and
     # rank-k reconstruction in f64 and cast back.  The f32 eigh error
     # (~n*eps*lam_max, injected into x EVERY iteration) contributes to the

@@ -41,22 +41,38 @@ class ConeLayout:
     m: int  # number of inequalities
     sdp_sides: tuple  # matrix side per PSD block
     soc_lens: tuple  # length per SOC block (s + v)
+    # square-form device layout: PSD blocks stored as FULL side*side
+    # matrices (row-major) instead of packed scaled triangles.  The packed
+    # triangle is the reference's CPU-era layout; on TPU the tri<->square
+    # index maps lower to gathers that were measured at 623 us/iteration
+    # on mcp250-1 — over half the whole PDHG step.  The square layout is
+    # an exact isometric change of coordinates (off-diagonal pair (X_ij,
+    # X_ji) <-> sqrt(2)*X_ij), applied to A/G/c once on the host
+    # (to_square_form), so the device loop never touches an index map.
+    square_form: bool = False
 
     @property
     def sdp_tri_lens(self):
         return tuple(sympackedlen(s) for s in self.sdp_sides)
 
     @property
+    def sdp_blk_lens(self):
+        """Stored length per PSD block under this layout."""
+        if self.square_form:
+            return tuple(s * s for s in self.sdp_sides)
+        return self.sdp_tri_lens
+
+    @property
     def sdp_offsets(self):
         offs, o = [], 0
-        for t in self.sdp_tri_lens:
+        for t in self.sdp_blk_lens:
             offs.append(o)
             o += t
         return tuple(offs)
 
     @property
     def soc_offsets(self):
-        o = sum(self.sdp_tri_lens)
+        o = sum(self.sdp_blk_lens)
         offs = []
         for l in self.soc_lens:
             offs.append(o)
@@ -65,11 +81,19 @@ class ConeLayout:
 
     @property
     def cone_dim(self):
-        return sum(self.sdp_tri_lens) + sum(self.soc_lens)
+        return sum(self.sdp_blk_lens) + sum(self.soc_lens)
 
     @property
     def n_free(self):
         return self.n - self.cone_dim
+
+    @property
+    def n_tri(self):
+        """Variable count of the tri-packed equivalent layout (the
+        reference's coordinate count — used for residual scaling parity)."""
+        if not self.square_form:
+            return self.n
+        return self.n - sum(self.sdp_blk_lens) + sum(self.sdp_tri_lens)
 
 
 class ConicProblem:
@@ -303,6 +327,97 @@ def preprocess(
         objective_constant=problem.objective_constant,
         obj_scale=obj_scale,
         rhs_scale=rhs_scale,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Square-form device layout (TPU-native; see ConeLayout.square_form)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+from .utils.vech import tri_ij as _tri_ij
+
+
+@_functools.lru_cache(maxsize=32)
+def square_embed_matrix(layout: ConeLayout):
+    """The isometry S mapping scaled-tri coordinates to square-form
+    coordinates, as a scipy CSR matrix of shape (n_sq, n_tri).
+
+    Per PSD block: diagonal tri entry k=(i,i) -> square (i,i) with 1.0;
+    off-diagonal tri entry k=(i,j), i<j (holding sqrt(2)*X_ij) -> square
+    (i,j) and (j,i), each with 1/sqrt(2).  SOC/free tail: identity.
+    S'S = I on tri space, so the change of coordinates is exact:
+    ||Sv|| = ||v||, M_sq = M S' has the same Frobenius/spectral norms,
+    and c_sq'x_sq = c'v for x_sq = Sv.
+
+    ``layout`` must be the TRI layout (square_form=False).
+    """
+    assert not layout.square_form
+    if _sp is None:  # pragma: no cover - scipy ships with jax
+        raise RuntimeError("square-form layout requires scipy")
+    n_tri = layout.n
+    n_sq = n_tri - sum(layout.sdp_tri_lens) + sum(
+        s * s for s in layout.sdp_sides
+    )
+    rows, cols, vals = [], [], []
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    os_ = 0
+    for ot, side in zip(layout.sdp_offsets, layout.sdp_sides):
+        i, j = _tri_ij(side)  # upper triangle, column-major (i <= j)
+        tl = sympackedlen(side)
+        for k in range(tl):
+            ik, jk = int(i[k]), int(j[k])
+            if ik == jk:
+                rows.append(os_ + ik * side + jk)
+                cols.append(ot + k)
+                vals.append(1.0)
+            else:
+                rows.append(os_ + ik * side + jk)
+                cols.append(ot + k)
+                vals.append(inv_sqrt2)
+                rows.append(os_ + jk * side + ik)
+                cols.append(ot + k)
+                vals.append(inv_sqrt2)
+        os_ += side * side
+    # SOC + free tail: identity
+    ot = sum(layout.sdp_tri_lens)
+    tail = n_tri - ot
+    for t in range(tail):
+        rows.append(os_ + t)
+        cols.append(ot + t)
+        vals.append(1.0)
+    S = _sp.csr_matrix(
+        (np.asarray(vals), (np.asarray(rows), np.asarray(cols))),
+        shape=(n_sq, n_tri),
+    )
+    return S
+
+
+def to_square_form(setup: SetupProblem) -> SetupProblem:
+    """Return a SetupProblem whose DEVICE operands (A, G, c, layout) are in
+    square-form coordinates.  Host-recovery fields (*_orig, var_ordering,
+    scales) are kept in tri space — solution recovery converts the iterate
+    back with ``square_embed_matrix(tri_layout).T`` once.
+    """
+    layout = setup.layout
+    if layout.square_form or not layout.sdp_sides:
+        return setup
+    S = square_embed_matrix(layout)
+    layout_sq = dataclasses.replace(
+        layout, n=S.shape[0], square_form=True
+    )
+    def conv(M, rows):
+        if not rows:
+            return np.zeros((0, S.shape[0]))
+        out = _tocsc(M) @ S.T
+        return out.tocsc() if _sp.issparse(out) else np.asarray(out)
+
+    A_sq = conv(setup.A, layout.p)
+    G_sq = conv(setup.G, layout.m)
+    c_sq = S @ setup.c
+    return dataclasses.replace(
+        setup, layout=layout_sq, A=A_sq, G=G_sq, c=c_sq
     )
 
 

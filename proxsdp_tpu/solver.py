@@ -371,7 +371,7 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
     sub_stats = s.sub_stats
     sub_worst = s.sub_worst
     for side, blks in sorted(by_side.items()):
-        tl = sympackedlen(side)
+        tl = side * side if layout.square_form else sympackedlen(side)
         stacked = jnp.stack(
             [jax.lax.dynamic_slice(x, (off,), (tl,)) for _, off in blks]
         )
@@ -391,7 +391,7 @@ def _primal_step(s: State, o: Operands, layout: ConeLayout, opts: Options):
         )
 
     for bi, off, side in singles:
-        tl = sympackedlen(side)
+        tl = side * side if layout.square_form else sympackedlen(side)
         res = psd_projection_block(
             jax.lax.dynamic_slice(x, (off,), (tl,)),
             side,
@@ -509,14 +509,62 @@ def _residuals_and_gap(s: State, o: Operands, layout: ConeLayout, opts: Options)
     def hi(v):
         return v.astype(rd)
 
-    # primal PPA residual
+    # f32 programs: emulated-f64 VECTOR work is a while-loop on TPU
+    # (measured ~200 us/iteration on mcp250-1 — 17% of the whole step).
+    # * max-type reductions (inf-norms, feasibility) carry no
+    #   accumulation error in f32 — run them natively and cast the scalar.
+    # * dots use a two-stage sum: f32 products summed in 128-wide chunks
+    #   (error ~64*eps_f32 ~ 8e-6 relative), then an exact f64 sum of the
+    #   ~n/128 partials.  That is ~10x below the solver's 1e-4 tolerance,
+    #   and the f64 phase re-judges every decision anyway.
+    two_stage = dtype == jnp.float32 and jax.config.jax_enable_x64
+
+    def me(v):
+        """Elementwise precision for max-type reductions."""
+        return v if two_stage else v.astype(rd)
+
+    def f64_dot(a, b):
+        if not two_stage:
+            return jnp.dot(hi(a), hi(b))
+        prod = a * b
+        ch = 128
+        pad = (-prod.shape[0]) % ch
+        if pad:
+            prod = jnp.concatenate(
+                [prod, jnp.zeros((pad,), prod.dtype)]
+            )
+        part = jnp.sum(prod.reshape(-1, ch), axis=1)
+        return jnp.sum(part.astype(rd))
+
+    # Under the square-form layout the off-diagonal coordinates hold X_ij
+    # (each twice) where the reference's scaled-tri coordinate is
+    # sqrt(2)*X_ij: weight the x-space INF-norms by sqrt(2) on off-diagonal
+    # square positions so pres matches the reference's norm exactly
+    # (2-norms and dots are already exact — the embed is an isometry).
+    # The weight is a trace-time constant folded into the adjacent fusion.
+    xw = None
+    if layout.square_form and layout.sdp_sides:
+        w_host = np.ones(n)
+        for off_b, side_b in zip(layout.sdp_offsets, layout.sdp_sides):
+            Ib, Jb = np.meshgrid(
+                np.arange(side_b), np.arange(side_b), indexing="ij"
+            )
+            offd = (Ib != Jb).reshape(-1)
+            w_host[off_b : off_b + side_b * side_b][offd] = np.sqrt(2.0)
+        xw = jnp.asarray(w_host, dtype)
+
+    def xnorm_inf(v):
+        return hi(_norm_inf(me(v) if xw is None else me(v * xw)))
+
+    # primal PPA residual (sqrt(n) uses the tri-equivalent coordinate
+    # count for parity with the reference's scaling, residuals.jl:46-55)
     Px_old = s.x_old - s.primal_step * s.Mty_old
     Px = s.x - s.primal_step * s.Mty
     pres = (
-        jnp.sqrt(float(n))
-        * _norm_inf(hi(Px - Px_old))
+        jnp.sqrt(float(layout.n_tri))
+        * xnorm_inf(Px - Px_old)
         / jnp.maximum(
-            jnp.maximum(_norm_inf(hi(Px_old)), jnp.maximum(hi(o.norm_b), hi(o.norm_h))), 1.0
+            jnp.maximum(xnorm_inf(Px_old), jnp.maximum(hi(o.norm_b), hi(o.norm_h))), 1.0
         )
     )
     # dual PPA residual
@@ -524,8 +572,10 @@ def _residuals_and_gap(s: State, o: Operands, layout: ConeLayout, opts: Options)
     Py = s.y - s.dual_step * s.Mx
     dres = (
         jnp.sqrt(float(p_ + m_))
-        * _norm_inf(hi(Py - Py_old))
-        / jnp.maximum(jnp.maximum(_norm_inf(hi(Py_old)), hi(o.norm_c)), 1.0)
+        * hi(_norm_inf(me(Py - Py_old)))
+        / jnp.maximum(
+            jnp.maximum(hi(_norm_inf(me(Py_old))), hi(o.norm_c)), 1.0
+        )
     )
     comb = jnp.maximum(pres, dres)
 
@@ -533,27 +583,27 @@ def _residuals_and_gap(s: State, o: Operands, layout: ConeLayout, opts: Options)
     # measured in USER units: under equilibration the device rows are
     # E-scaled, so the raw residual hides violations on downscaled rows
     ru = jnp.asarray(o.row_unscale)
-    ru_eq = hi(ru[:p_]) if ru.ndim else hi(ru)
-    ru_in = hi(ru[p_:]) if ru.ndim else hi(ru)
+    ru_eq = me(ru[:p_]) if ru.ndim else me(ru)
+    ru_in = me(ru[p_:]) if ru.ndim else me(ru)
     equa = (
-        _norm_inf((hi(s.Mx[:p_]) - hi(o.b)) * ru_eq) / (1.0 + hi(o.norm_b))
+        hi(_norm_inf((me(s.Mx[:p_]) - me(o.b)) * ru_eq)) / (1.0 + hi(o.norm_b))
         if p_
         else hi(s.equa_feas)
     )
     ineq = (
-        jnp.max((hi(s.Mx[p_:]) - hi(o.h)) * ru_in) / (1.0 + hi(o.norm_h))
+        hi(jnp.max((me(s.Mx[p_:]) - me(o.h)) * ru_in)) / (1.0 + hi(o.norm_h))
         if m_
         else hi(s.ineq_feas)
     )
     feas = jnp.maximum(equa if p_ else jnp.asarray(0.0, rd),
                        ineq if m_ else jnp.asarray(0.0, rd))
 
-    prim_obj = jnp.dot(hi(o.c), hi(s.x))
+    prim_obj = f64_dot(o.c, s.x)
     dual_obj = jnp.asarray(0.0, rd)
     if p_:
-        dual_obj = dual_obj - jnp.dot(hi(o.b), hi(s.y[:p_]))
+        dual_obj = dual_obj - f64_dot(o.b, s.y[:p_])
     if m_:
-        dual_obj = dual_obj - jnp.dot(hi(o.h), hi(s.y[p_:]))
+        dual_obj = dual_obj - f64_dot(o.h, s.y[p_:])
     # user-unit objectives: undo the objective normalization so the gap,
     # the buffers, and the infeasibility heuristics all see the same
     # magnitudes the reference would (residuals.jl:56-60)
@@ -937,6 +987,7 @@ _DRIVER_ONLY_DEFAULTS = dict(
     linop="auto",
     check_dual_feas=False,
     check_dual_feas_freq=1000,
+    square_form=True,
 )
 
 
@@ -982,16 +1033,26 @@ def _estimate_subspace(
     # under-counts whenever the current subspace is too small (the iterate
     # converges to the restricted-face optimum at exactly the basis rank,
     # so estimating from x can never see the missing directions).
-    x_host = np.asarray(state.x, np.float64)
     if c_host is not None:
-        tau = float(state.primal_step)
-        mty = np.asarray(state.Mty, np.float64)
-        x_host = x_host - tau * (mty + np.asarray(c_host, np.float64))
+        # ONE batched device->host pull (x, Mty, tau each cost a full
+        # tunnel round trip when fetched separately)
+        x_d, mty_d, tau_d = jax.device_get(
+            [state.x, state.Mty, state.primal_step]
+        )
+        x_host = np.asarray(x_d, np.float64) - float(tau_d) * (
+            np.asarray(mty_d, np.float64) + np.asarray(c_host, np.float64)
+        )
+    else:
+        x_host = np.asarray(jax.device_get(state.x), np.float64)
     specs = []
     for off, side in zip(layout.sdp_offsets, layout.sdp_sides):
-        tl = sympackedlen(side)
-        gidx, in_scale, _, _ = _tri_maps(side)
-        Xm = (x_host[off : off + tl][gidx] * in_scale).reshape(side, side)
+        if layout.square_form:
+            Xm = x_host[off : off + side * side].reshape(side, side)
+            Xm = 0.5 * (Xm + Xm.T)
+        else:
+            tl = sympackedlen(side)
+            gidx, in_scale, _, _ = _tri_maps(side)
+            Xm = (x_host[off : off + tl][gidx] * in_scale).reshape(side, side)
         w, V = np.linalg.eigh(Xm)
         lam_max = max(float(w[-1]), 0.0)
         r_blk = int(np.sum(w > max(opts.tol_psd, 1e-4 * max(lam_max, 1e-12))))
@@ -1178,6 +1239,18 @@ def solve(
     elif opts.equilibration or opts.equilibration_force:
         equil = equilibrate_host(setup, opts)
 
+    # Square-form device coordinates (ConeLayout.square_form): fold the
+    # tri<->square isometry into A/G/c once on the host so the jitted loop
+    # never runs the packed-triangle index maps (measured at 52% of the
+    # whole PDHG iteration on mcp250-1).  setup_h keeps the tri-space data
+    # for solution recovery, dual-feasibility checks and certificates.
+    setup_h = setup
+    if opts.square_form and layout.sdp_sides:
+        from .problem import to_square_form
+
+        setup = to_square_form(setup)
+        layout = setup.layout
+
     def make_operands(dt):
         force = None if opts.linop == "auto" else opts.linop
         M = build_linop(setup.A, setup.G, dt, force=force)
@@ -1220,14 +1293,18 @@ def solve(
             y_s = np.concatenate(
                 [np.asarray(y_eq, np.float64), np.asarray(y_in, np.float64)]
             )
-        ord_ = np.argsort(setup.var_ordering)
+        ord_ = np.argsort(setup_h.var_ordering)
         x_s = np.asarray(x_u, np.float64)[ord_]
         if equil is not None:
             x_s = x_s / equil.D
             y_s = y_s / equil.E
-        x_s = _fix_diag_scaling(x_s, layout, 1.0 / np.sqrt(2.0))
-        x_s = x_s / setup.rhs_scale  # user primal -> rhs-scaled primal
-        y_s = y_s / setup.obj_scale  # user duals -> scaled-objective duals
+        x_s = _fix_diag_scaling(x_s, setup_h.layout, 1.0 / np.sqrt(2.0))
+        x_s = x_s / setup_h.rhs_scale  # user primal -> rhs-scaled primal
+        y_s = y_s / setup_h.obj_scale  # user duals -> scaled-obj duals
+        if layout.square_form:
+            from .problem import square_embed_matrix
+
+            x_s = square_embed_matrix(setup_h.layout) @ x_s
         warm = (x_s, y_s)
 
     # Hybrid precision: race in f32, confirm/finish in f64 (the optimality
@@ -1389,7 +1466,7 @@ def solve(
     # best point instead of the declaration-time one), valid only while
     # the compiled program that produced it is still current ("tag").
     best_ctx = {"score": float("inf"), "snap": None, "full": None,
-                "tag": None}
+                "tag": None, "t": 0.0}
     _SNAP_FIELDS = (
         "x", "y", "iter", "current_rank", "buf_gap", "buf_prim_obj",
         "buf_dual_obj", "buf_feas", "buf_pres", "buf_dres",
@@ -1514,26 +1591,39 @@ def solve(
         k, st = sc["iter"], sc["status"]
         elapsed = time.time() - t0
 
+        def take_snapshot(score):
+            """Copy the current iterate as the best-scored snapshot (one
+            batched D2H: copy_to_host_async per leaf, single barrier —
+            sequential np.asarray per leaf costs a full tunnel round-trip
+            each and dominated warm solves)."""
+            t_snap = time.time()
+            best_ctx["t"] = t_snap
+            best_ctx["score"] = score
+            leaves, treedef = jax.tree_util.tree_flatten(state)
+            best_ctx["full"] = jax.tree_util.tree_unflatten(
+                treedef, jax.device_get(leaves)
+            )
+            best_ctx["tag"] = (phase32, polish_ctx["k_sub"])
+            best_ctx["snap"] = {
+                f: getattr(best_ctx["full"], f) for f in _SNAP_FIELDS
+            }
+            timers["snapshot"] += time.time() - t_snap
+
         if cert_ctx["mode"] == 0 and k > 0:
             # track the best-scored iterate (see best_ctx above); a 5%
             # improvement gate bounds the device->host copies to
-            # O(log(initial/final score))
+            # O(log(initial/final score)), and a 2 s rate limit bounds
+            # their wall share (each is a blocking ~45 ms D2H over the
+            # tunnel) — a limit return loses at most the last 2 s of
+            # improvements, and the FINAL iterate is separately compared
+            # at return time
             score = max(sc["gap"], sc["feas"])
-            if np.isfinite(score) and score < 0.95 * best_ctx["score"]:
-                t_snap = time.time()
-                best_ctx["score"] = score
-                # one batched D2H (copy_to_host_async per leaf, single
-                # barrier) — sequential np.asarray per leaf costs a full
-                # tunnel round-trip each and dominated warm solves
-                leaves, treedef = jax.tree_util.tree_flatten(state)
-                best_ctx["full"] = jax.tree_util.tree_unflatten(
-                    treedef, jax.device_get(leaves)
-                )
-                best_ctx["tag"] = (phase32, polish_ctx["k_sub"])
-                best_ctx["snap"] = {
-                    f: getattr(best_ctx["full"], f) for f in _SNAP_FIELDS
-                }
-                timers["snapshot"] += time.time() - t_snap
+            if (
+                np.isfinite(score)
+                and score < 0.95 * best_ctx["score"]
+                and time.time() - best_ctx["t"] >= 2.0
+            ):
+                take_snapshot(score)
 
         if opts.log_verbose and k >= log_next:
             dfeas = None
@@ -1542,7 +1632,7 @@ def solve(
                 if equil is not None:
                     y_log = equil.E * y_log
                 y_log = y_log * setup.obj_scale
-                dfeas = _dual_feas_host(y_log, setup, setup.c_orig)
+                dfeas = _dual_feas_host(y_log, setup_h, setup_h.c_orig)
             _log_progress(sc, elapsed, opts, dfeas)
             log_next += opts.log_freq
 
@@ -1567,13 +1657,26 @@ def solve(
             if metric < hybrid_best["value"] / 1.2:
                 hybrid_best["value"] = metric
                 hybrid_best["since"] = k
+            # Hand over when the f32 program itself flips status (it runs
+            # at the full tolerance, so st=1 means "f32 believes optimal"),
+            # on a stall, or at a budget boundary.  Being NEAR tolerance
+            # (metric <= F*tol) alone is NOT a reason: f32 iterations are
+            # ~8x cheaper than emulated-f64 ones (measured 2.0 vs 17 ms/it
+            # on mcp250-1), so an early hand-over at 10x tol moves the
+            # remaining descent onto the slow program — it only pays when
+            # f32 has ALSO stopped improving (its noise floor), judged on
+            # a quarter-length stall window.
+            near = (
+                sc["gap"] <= F * opts.tol_gap
+                and sc["feas"] <= F * opts.tol_feasibility
+            )
+            no_improve = k - hybrid_best["since"]
             switch = (
                 st != 0
-                or (
-                    sc["gap"] <= F * opts.tol_gap
-                    and sc["feas"] <= F * opts.tol_feasibility
-                )
-                or (k - hybrid_best["since"]) >= stall_window
+                or (near and no_improve >= max(
+                    stall_window // 4, 2 * opts.convergence_check
+                ))
+                or no_improve >= stall_window
                 or k >= budget.max_iter
                 or elapsed >= budget.time_limit
             )
@@ -1844,7 +1947,7 @@ def solve(
         # ----- certificate-search monitoring (reference pdhg.jl:184-244)
         if in_cert and (k >= int(state.cert_wait_until) or st == 7):
             done, found, fail = _check_certificate(
-                sc, state, setup, opts, cert_ctx["mode"], st
+                sc, state, setup_h, opts, cert_ctx["mode"], st
             )
             if not done and (
                 k >= cert_ctx.get("deadline_k", np.inf)
@@ -1947,8 +2050,8 @@ def solve(
                 y_now = np.asarray(state.y, np.float64)
                 if equil is not None:
                     y_now = equil.E * y_now
-                y_now = y_now * setup.obj_scale
-                dfeas = _dual_feas_host(y_now, setup, setup.c_orig)
+                y_now = y_now * setup_h.obj_scale
+                dfeas = _dual_feas_host(y_now, setup_h, setup_h.c_orig)
                 if dfeas >= opts.tol_feasibility_dual:
                     # veto + suppress re-declaration for a window so chunks
                     # keep amortizing (reference evaluates dual_feas every
@@ -1973,8 +2076,15 @@ def solve(
                     )
                     cert_ctx["mode"] = 0  # result from the CURRENT iterate
                     break
+                # force-capture the declaration-time iterate so the
+                # demoted-certificate return path's "best_ctx is at least
+                # as good as the declaration snapshot" invariant survives
+                # the snapshot rate limit
+                score_now = max(sc["gap"], sc["feas"])
+                if np.isfinite(score_now) and score_now < best_ctx["score"]:
+                    take_snapshot(score_now)
                 cert_ctx["snapshot"] = _cache_solution(
-                    state, setup, opts, t0, status=st,
+                    state, setup_h, opts, t0, status=st, dev_layout=layout,
                     status_string=_declare_string(st, sc), equil=equil,
                 )
                 cert_ctx["resume_state"] = jax.tree_util.tree_map(
@@ -2007,9 +2117,17 @@ def solve(
                 and not in_cert
                 and cert_ctx["entries"] < _MAX_CERT_SEARCHES
             ):
+                # force-capture the declaration-time iterate so the
+                # demoted-certificate return path's "best_ctx is at least
+                # as good as the declaration snapshot" invariant survives
+                # the snapshot rate limit
+                score_now = max(sc["gap"], sc["feas"])
+                if np.isfinite(score_now) and score_now < best_ctx["score"]:
+                    take_snapshot(score_now)
                 cert_ctx["snapshot"] = _cache_solution(
-                    state, setup, opts, t0, status=lim_status,
+                    state, setup_h, opts, t0, status=lim_status,
                     status_string=lim_string, equil=equil,
+                    dev_layout=layout,
                 )
                 cert_ctx["resume_state"] = jax.tree_util.tree_map(
                     np.asarray, state
@@ -2061,12 +2179,13 @@ def solve(
         assert cert_ctx["snapshot"] is not None
         if cert_ctx["found"]:
             res = _cache_solution(
-                state, setup, opts, t0,
+                state, setup_h, opts, t0,
                 status=final_status,
                 status_string=status_string,
                 zero_c=(final_status == 6),
                 certificate_found=True,
                 equil=equil,
+                dev_layout=layout,
             )
         else:
             # no ray: demoted limit status (never an unproven
@@ -2075,11 +2194,12 @@ def solve(
             # least as good — return it when available.
             if best_ctx["snap"] is not None:
                 res = _cache_solution(
-                    state._replace(**best_ctx["snap"]), setup, opts, t0,
+                    state._replace(**best_ctx["snap"]), setup_h, opts, t0,
                     status=final_status,
                     status_string=status_string
                     or cert_ctx["snapshot"].status_string,
                     equil=equil,
+                    dev_layout=layout,
                 )
                 res.iter = k  # report total iterations run, not the
                 # snapshot's position (the buffers were indexed by it)
@@ -2097,14 +2217,15 @@ def solve(
             if not np.isfinite(cur) or best_ctx["score"] < cur:
                 state = state._replace(**best_ctx["snap"])
         res = _cache_solution(
-            state, setup, opts, t0, status=final_status,
+            state, setup_h, opts, t0, status=final_status,
             status_string=status_string or STATUS_STRINGS[final_status],
             equil=equil,
+            dev_layout=layout,
         )
         res.iter = total_k  # total iterations run (the snapshot override
         # above may have rewound state.iter to index the ring buffers)
 
-    _annotate_limit_feas(res, setup, opts)
+    _annotate_limit_feas(res, setup_h, opts)
     timers["finalize"] = time.time() - t0 - sum(
         v for k_, v in timers.items() if k_ != "finalize"
     )
@@ -2501,8 +2622,15 @@ def _cache_solution(
     zero_c: bool = False,
     certificate_found: bool = False,
     equil=None,
+    dev_layout: ConeLayout | None = None,
 ) -> Result:
-    """Unscale, recover duals/slacks, build Result (pdhg.jl:745-787)."""
+    """Unscale, recover duals/slacks, build Result (pdhg.jl:745-787).
+
+    ``setup`` is the TRI-space SetupProblem (host recovery data);
+    ``dev_layout`` the device layout — when square_form, the iterate is
+    converted back to scaled-tri coordinates with the embed isometry's
+    transpose before the reference's unscale chain runs.
+    """
     layout = setup.layout
     # ONE batched device->host transfer for every field read below:
     # sequential np.asarray / float(buf[i]) reads each cost a full tunnel
@@ -2519,6 +2647,10 @@ def _cache_solution(
 
     x = np.asarray(x_d, np.float64)
     y = np.asarray(y_d, np.float64)
+    if dev_layout is not None and dev_layout.square_form:
+        from .problem import square_embed_matrix
+
+        x = square_embed_matrix(layout).T @ x
     x = _fix_diag_scaling(x, layout, np.sqrt(2.0))
     if equil is not None:  # undo E M D preconditioning (pdhg.jl:752-755)
         x = equil.D * x

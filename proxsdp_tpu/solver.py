@@ -2351,6 +2351,15 @@ def _solve_with_beq_probe(problem, opts: Options, t0: float) -> Result:
             f"  [beq probe] -> "
             f"{'block-equilibrated' if winner else 'default'}"
         )
+    t_probe = time.time() - t0
+    if opts.log_verbose or opts.timer_verbose:
+        # attribute the probe's cold cost explicitly (it runs both arms
+        # through compiled programs BEFORE the main solve; on slow-compile
+        # backends that can be the dominant pre-solve cost)
+        print(
+            f"  [beq probe] probe consumed {t_probe:.1f}s before the main "
+            "solve (both arms share the main solve's compiled program)"
+        )
     if wres is not None and wres.status == 1:
         wres.time = time.time() - t0
         return wres

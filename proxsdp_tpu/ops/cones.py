@@ -262,6 +262,65 @@ def psd_projection_block(
 
             return one(one(Y))
 
+        def polar_reseed(X):
+            # matmul-only fallback (race programs): compute the FULL
+            # Newton-Schulz polar projection of X — exact to NS
+            # accuracy (~1e-5 * ||X||_F) independent of the subspace
+            # rank, exactly the role the dense-eigh fallback plays —
+            # and refresh the warm basis from the sign projector's
+            # range: sign(X) maps the positive eigenspace to
+            # eigenvalue 1, so ONE application of P+ = (I+S)/2 to the
+            # old basis converges the subspace (unit spectral gap).
+            # The last column is steered into the NEGATIVE space so
+            # the covers test (min theta <= tol_psd) can hold next
+            # iteration.  No eigh anywhere — deterministic
+            # ~(3*aggressive+2*polish+5) MXU matmuls vs the dense
+            # eigh's data-dependent 0.45..322ms.
+            Xb32 = X.astype(bdt)
+            with jax.default_matmul_precision("float32"):
+                sF = jnp.sqrt(jnp.sum(Xb32 * Xb32)) + jnp.asarray(
+                    1e-30, bdt
+                )
+                Y = Xb32 / sF
+                for _ in range(opt.polar_aggressive):
+                    A2 = Y @ Y
+                    Bq = POLAR_QB * A2 + POLAR_QC * (A2 @ A2)
+                    Y = POLAR_QA * Y + Y @ Bq
+                for _ in range(opt.polar_polish):
+                    A2 = Y @ Y
+                    Y = 1.5 * Y - 0.5 * (Y @ A2)
+                Sgn = 0.5 * (Y + Y.T)
+                Pp = 0.5 * (Xb32 + Sgn @ Xb32)  # full polar projection
+                Xp2_b = 0.5 * (Pp + Pp.T)
+                wb = warm.astype(bdt)
+                Zp = 0.5 * (wb + Sgn @ wb)  # P+ @ warm
+                zn = 0.5 * (wb[:, -1] - Sgn @ wb[:, -1])  # P- @ last
+                Z = jnp.concatenate([Zp[:, :-1], zn[:, None]], axis=1)
+                # rank-deficient Z columns are rescued by _cholqr2's
+                # trace-scaled jitter
+                Qn = _cholqr2(Z)
+                rank2 = 0.5 * (side + jnp.trace(Sgn))
+            Xp2 = Xp2_b.astype(dtype)
+            bad2 = ~jnp.all(jnp.isfinite(Xp2))
+            Xp2 = jnp.where(bad2, X, Xp2)
+            # full-path bookkeeping semantics (prox_operators.jl:114)
+            me2 = jnp.asarray(0.0, dtype)
+            cur2 = jnp.where(
+                bad2, side, jnp.clip(jnp.round(rank2), 0, side)
+            ).astype(jnp.int32)
+            wv2 = jnp.where(bad2, warm, Qn.astype(dtype))
+            # 4-tuple like full_path_sub; the cond wrapper appends
+            # used_full=True ("a fallback/reseed ran this iteration")
+            return Xp2, me2, cur2, wv2
+
+
+        use_sign = (
+            bool(getattr(opt, "subspace_sign", True))
+            and not mixed
+            and dtype == jnp.float32
+            and not getattr(opt, "subspace_accept_always", False)
+        )
+
         def subspace_path(X):
             # Pin MXU matmul precision: on TPU the DEFAULT f32 matmul is a
             # single bfloat16 pass (~3 decimal digits), which floors the
@@ -271,7 +330,87 @@ def psd_projection_block(
             # (side,k) products exact-f32 — still MXU work, and these
             # products are tiny next to the dense eigh they replace.
             with jax.default_matmul_precision("float32"):
+                if use_sign:
+                    return _subspace_body_sign(X)
                 return _subspace_body(X)
+
+        def _subspace_body_sign(X):
+            """Matmul-only subspace projection step (no eigh anywhere).
+
+            The k x k Rayleigh-Ritz eigh(B) was traced at ~100 us per
+            iteration on mcp250-1 — 40% of the device time of the whole
+            square-form PDHG step.  Replace it with a Newton-Schulz
+            matrix-sign of B (k x k matmuls, sub-us): the in-span
+            projection is (B + sign(B)B)/2, the positive-rank count is
+            trace((I+sign)/2), and acceptance uses the aggregate
+            positive-subspace residual ||(XQ - QB) P+||_F instead of
+            per-Ritz-pair residuals (same relative-inexactness budget).
+            """
+            Q = _cholqr2(X @ warm)
+            Z = X @ Q
+            B = Q.T @ Z
+            B = 0.5 * (B + B.T)
+            sF = jnp.sqrt(jnp.sum(B * B)) + jnp.asarray(1e-30, bdt)
+            Y = B / sF
+            for _ in range(opt.polar_aggressive):
+                A2 = Y @ Y
+                Y = POLAR_QA * Y + Y @ (POLAR_QB * A2 + POLAR_QC * (A2 @ A2))
+            for _ in range(opt.polar_polish):
+                Y = 1.5 * Y - 0.5 * (Y @ (Y @ Y))
+            S = 0.5 * (Y + Y.T)
+            npos_f = 0.5 * (k_sub + jnp.trace(S))
+            Pp = 0.5 * (jnp.eye(k_sub, dtype=bdt) + S)
+            # aggregate residual of the positive in-span subspace
+            R = (Z - Q @ B) @ Pp
+            rfro = jnp.sqrt(jnp.sum(R * R))
+            scale = jnp.maximum(sF, 1.0)
+            thresh = jnp.asarray(opt.subspace_tol, dtype)
+            if accept_tol is not None:
+                thresh = jnp.maximum(thresh, accept_tol.astype(dtype))
+            ok_resid = rfro <= thresh * scale
+            # a non-positive direction must be present inside the basis
+            # (same role as min(theta) <= tol_psd in the eigh body)
+            covers = (k_sub - npos_f) >= 0.5
+            conv_ok = ok_resid & covers
+            if force_full is not None:
+                conv_ok = conv_ok & ~force_full
+            stats = jnp.stack(
+                [
+                    (rfro / scale).astype(dtype),
+                    (npos_f - k_sub).astype(dtype),  # -(negative count)
+                    npos_f.astype(dtype),
+                ]
+            )
+
+            def reconstruct(_):
+                Bp = 0.5 * (B + S @ B)
+                Bp = 0.5 * (Bp + Bp.T)
+                Xp = Q @ (Bp @ Q.T)
+                bad = ~jnp.all(jnp.isfinite(Xp))
+                Xp = jnp.where(bad, X, Xp)
+                # full-path min_eig semantics (prox_operators.jl:114);
+                # covers already guarantees a non-positive direction, so
+                # the adaptive-rank controller stays quiescent exactly as
+                # with min(theta) <= tol_psd
+                me = jnp.asarray(0.0, dtype)
+                cur = jnp.clip(
+                    jnp.round(npos_f), 0, k_sub
+                ).astype(jnp.int32)
+                wv = jnp.where(bad, warm, Q)
+                return Xp, me, cur, wv, bad
+
+            fb = (
+                polar_reseed
+                if getattr(opt, "subspace_fallback", "eigh") == "polar"
+                else full_path_sub
+            )
+            out = jax.lax.cond(
+                conv_ok,
+                reconstruct,
+                lambda _: fb(X) + (jnp.asarray(True),),
+                operand=None,
+            )
+            return out + (stats,)
 
         def _subspace_body(X):
             Xb = X.astype(bdt)
@@ -336,57 +475,6 @@ def psd_projection_block(
                 cur = jnp.sum(theta > opt.tol_psd).astype(jnp.int32)
                 # new warm basis: Ritz vectors, dominant first
                 return Xp, me, cur, W[:, ::-1], jnp.asarray(False)
-
-            def polar_reseed(X):
-                # matmul-only fallback (race programs): compute the FULL
-                # Newton-Schulz polar projection of X — exact to NS
-                # accuracy (~1e-5 * ||X||_F) independent of the subspace
-                # rank, exactly the role the dense-eigh fallback plays —
-                # and refresh the warm basis from the sign projector's
-                # range: sign(X) maps the positive eigenspace to
-                # eigenvalue 1, so ONE application of P+ = (I+S)/2 to the
-                # old basis converges the subspace (unit spectral gap).
-                # The last column is steered into the NEGATIVE space so
-                # the covers test (min theta <= tol_psd) can hold next
-                # iteration.  No eigh anywhere — deterministic
-                # ~(3*aggressive+2*polish+5) MXU matmuls vs the dense
-                # eigh's data-dependent 0.45..322ms.
-                Xb32 = X.astype(bdt)
-                with jax.default_matmul_precision("float32"):
-                    sF = jnp.sqrt(jnp.sum(Xb32 * Xb32)) + jnp.asarray(
-                        1e-30, bdt
-                    )
-                    Y = Xb32 / sF
-                    for _ in range(opt.polar_aggressive):
-                        A2 = Y @ Y
-                        Bq = POLAR_QB * A2 + POLAR_QC * (A2 @ A2)
-                        Y = POLAR_QA * Y + Y @ Bq
-                    for _ in range(opt.polar_polish):
-                        A2 = Y @ Y
-                        Y = 1.5 * Y - 0.5 * (Y @ A2)
-                    Sgn = 0.5 * (Y + Y.T)
-                    Pp = 0.5 * (Xb32 + Sgn @ Xb32)  # full polar projection
-                    Xp2_b = 0.5 * (Pp + Pp.T)
-                    wb = warm.astype(bdt)
-                    Zp = 0.5 * (wb + Sgn @ wb)  # P+ @ warm
-                    zn = 0.5 * (wb[:, -1] - Sgn @ wb[:, -1])  # P- @ last
-                    Z = jnp.concatenate([Zp[:, :-1], zn[:, None]], axis=1)
-                    # rank-deficient Z columns are rescued by _cholqr2's
-                    # trace-scaled jitter
-                    Qn = _cholqr2(Z)
-                    rank2 = 0.5 * (side + jnp.trace(Sgn))
-                Xp2 = Xp2_b.astype(dtype)
-                bad2 = ~jnp.all(jnp.isfinite(Xp2))
-                Xp2 = jnp.where(bad2, X, Xp2)
-                # full-path bookkeeping semantics (prox_operators.jl:114)
-                me2 = jnp.asarray(0.0, dtype)
-                cur2 = jnp.where(
-                    bad2, side, jnp.clip(jnp.round(rank2), 0, side)
-                ).astype(jnp.int32)
-                wv2 = jnp.where(bad2, warm, Qn.astype(dtype))
-                # 4-tuple like full_path_sub; the cond wrapper appends
-                # used_full=True ("a fallback/reseed ran this iteration")
-                return Xp2, me2, cur2, wv2
 
             fallback_fn = (
                 polar_reseed

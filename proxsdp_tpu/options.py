@@ -307,6 +307,14 @@ class Options:
     # the f64 acceptance residual SEES the basis error, so an inadequate
     # f32 basis falls back to dense f64 eigh exactly like any other
     # rejected subspace — accuracy semantics are unchanged.
+    # Matmul-only subspace step for f32 race programs: replace the k x k
+    # Rayleigh-Ritz eigh(B) (traced at ~100 us/iter on mcp250-1 — 40% of
+    # square-form device time) with a Newton-Schulz sign(B): in-span
+    # projection (B + sign(B)B)/2, rank = trace((I+sign)/2), acceptance
+    # on the aggregate positive-subspace residual.  Falls back exactly
+    # like the eigh body (polar reseed / dense eigh).  DEFAULT OFF until
+    # TPU-validated (flips on after the round-4 evidence queue).
+    subspace_sign: bool = False
     subspace_mixed: bool = True
     # Unconditional acceptance floor for the mixed projection: an f32
     # basis cannot push the (f64-measured) Ritz residual below ~sqrt(side)

@@ -112,6 +112,49 @@ class TestSolveEquivalence:
         assert r2.iter <= r1.iter
         assert abs(r2.objval - 18.0) < 1e-3
 
+    def test_sign_subspace_race(self):
+        """subspace_sign=True (matmul-only f32 subspace step: Newton-
+        Schulz sign(B) instead of eigh(B)) must converge to the same
+        answer through the hybrid race.  Small side, so force the
+        subspace on via subspace_rank and a tiny warmup."""
+        opt = _maxcut_opt(
+            subspace_sign=True,
+            race_subspace_warmup=8,
+            convergence_check=8,
+            chunk_iters=16,
+        )
+        res = opt.optimize()
+        assert res.status == 1
+        assert abs(res.objval - 18.0) < 1e-3
+
+    def test_sign_subspace_matches_eigh_subspace(self):
+        """Forced f32 subspace mode, sign vs eigh bodies: same optimum
+        on mcp-style maxcut, comparable iteration counts."""
+        import proxsdp_tpu as _px
+        from proxsdp_tpu.models.maxcut import (
+            maxcut_problem,
+            random_graph_weights,
+        )
+        from proxsdp_tpu.solver import solve as _solve
+
+        prob, _ = maxcut_problem(random_graph_weights(3, 40))
+        base = _px.Options(
+            dtype="float32",
+            hybrid_precision=False,
+            subspace_rank=12,
+            subspace_fallback="polar",
+            tol_gap=1e-3,
+            tol_feasibility=1e-3,
+            max_iter=30_000,
+        )
+        r_sign = _solve(prob, base.replace(subspace_sign=True))
+        r_eigh = _solve(prob, base.replace(subspace_sign=False))
+        assert r_sign.status == 1 and r_eigh.status == 1
+        assert abs(r_sign.objval - r_eigh.objval) < 5e-2 * max(
+            1.0, abs(r_eigh.objval)
+        )
+        assert r_sign.iter < 3 * max(r_eigh.iter, 1)
+
     def test_two_blocks_square(self):
         """Two PSD blocks: per-block square offsets line up."""
         opt = px.Optimizer(tol_gap=1e-6, tol_feasibility=1e-6)

@@ -1355,6 +1355,17 @@ def solve(
         "guard": None,
     }
 
+    # Above full_eig_max_side a dense f64 eigh fallback runs for minutes
+    # (emulated) and faults the worker mid-execution — large-side f64
+    # subspace programs use the f32-compute polar reseed instead (see the
+    # polish hand-over below and the stall path).
+    big_side = (
+        max(layout.sdp_sides) > opts.full_eig_max_side
+        if layout.sdp_sides
+        else False
+    )
+    polish_fb = {"subspace_fallback": "polar"} if big_side else {}
+
     if resume_from:
         from .utils.checkpoint import load_checkpoint
 
@@ -1385,7 +1396,7 @@ def solve(
                 # rebuild the matching runner
                 k_saved = int(np.asarray(state.warm[0]).shape[1])
                 run_chunk, _, fetch = _cached_runner(
-                    layout, opts.replace(subspace_rank=k_saved)
+                    layout, opts.replace(subspace_rank=k_saved, **polish_fb)
                 )
 
     budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
@@ -1707,7 +1718,14 @@ def solve(
                 chunk = min(chunk, chunk0_cons)
                 # f64 polish program: persistent-subspace projection sized
                 # from the rank the f32 phase observed (bucketed to bound
-                # the number of compiled variants)
+                # the number of compiled variants).  Above full_eig_max_side
+                # the rejection fallback must NOT be the dense eigh: an
+                # emulated-f64 eigh at side 2000 runs for minutes and a
+                # single XLA execution containing one blows the TPU
+                # worker's deadline (measured: maxG32 faulted at the first
+                # f64 chunk, round 4) — use the f32-compute polar reseed
+                # (inexactness ~1e-5 relative; the gap/feasibility
+                # decisions stay f64 on the iterate).
                 entered_polish = False
                 if (
                     opts.polish_subspace
@@ -1718,7 +1736,9 @@ def solve(
                         state, layout, opts, c_host=setup.c
                     )
                     if k_sub:
-                        opts_polish = opts.replace(subspace_rank=k_sub)
+                        opts_polish = opts.replace(
+                            subspace_rank=k_sub, **polish_fb
+                        )
                         run_chunk, _, fetch = _cached_runner(
                             layout, opts_polish
                         )
@@ -1907,7 +1927,7 @@ def solve(
                 k_cur = polish_ctx["k_sub"]
                 if k_cur and k_new > k_cur:
                     run_chunk, _, fetch = _cached_runner(
-                        layout, opts.replace(subspace_rank=k_new)
+                        layout, opts.replace(subspace_rank=k_new, **polish_fb)
                     )
                     chunk_meas["skip_next"] = True
                     chunk_meas["per_iter"] = None
@@ -1922,8 +1942,11 @@ def solve(
                             f"subspace rank {k_cur} -> {k_new} "
                             f"(pre-projection rank {r_obs})"
                         )
-                elif k_cur and k_new == 0:
+                elif k_cur and k_new == 0 and not big_side:
                     # rank too large for any bucket: dense-eigh program
+                    # (above full_eig_max_side this would build a program
+                    # whose eigh fallback faults the worker — big sides
+                    # stay on the current subspace program instead)
                     run_chunk, _, fetch = _cached_runner(layout, opts)
                     chunk_meas["skip_next"] = True
                     chunk_meas["per_iter"] = None

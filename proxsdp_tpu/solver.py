@@ -1007,8 +1007,14 @@ def _cached_runner(layout: ConeLayout, opts: Options):
 def _sub_bucket(k: int) -> int:
     """Round a polish-subspace width up to a bounded set of buckets (each
     bucket is a separate compiled program; compiles cost minutes on some
-    runtimes). 0 = rank too large, use dense eigh."""
-    for b in (16, 24, 32, 48, 64, 96, 128):
+    runtimes). 0 = rank too large, use dense eigh.
+
+    The 192/256 buckets only engage at sides > 384/512 (the caller
+    requires k < side/2) — exactly the sides where falling back to the
+    dense program means ~270 ms+ emulated-f64 eighs per iteration
+    (measured: gpp500-2 handed over at observed rank 126, overflowed the
+    old 128 cap, and ran the dense-f64 program at < 4 iter/s)."""
+    for b in (16, 24, 32, 48, 64, 96, 128, 192, 256):
         if k <= b:
             return b
     return 0
@@ -1355,12 +1361,17 @@ def solve(
         "guard": None,
     }
 
-    # Above full_eig_max_side a dense f64 eigh fallback runs for minutes
-    # (emulated) and faults the worker mid-execution — large-side f64
-    # subspace programs use the f32-compute polar reseed instead (see the
-    # polish hand-over below and the stall path).
+    # Emulated-f64 dense eigh fallbacks are unaffordable at large sides:
+    # ~270 ms at side 500 (measured: gpp500-3's polish ran at 7.5 iter/s
+    # with ~50% rejections — the whole 300 s budget), and at side 2000 a
+    # single eigh runs for minutes inside one XLA execution and faults
+    # the TPU worker (maxG32, round 4).  Above this threshold the f64
+    # subspace programs use the f32-COMPUTE polar reseed as their
+    # rejection fallback: projection inexactness ~1e-5 relative while
+    # gap/feasibility decisions stay f64 on the iterate — an order of
+    # magnitude inside the 1e-4 default tolerance.
     big_side = (
-        max(layout.sdp_sides) > opts.full_eig_max_side
+        max(layout.sdp_sides) > min(opts.full_eig_max_side, 384)
         if layout.sdp_sides
         else False
     )

@@ -15,6 +15,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import proxsdp_tpu as px
 from proxsdp_tpu.models.maxcut import maxcut_problem, random_graph_weights

@@ -2118,7 +2118,7 @@ def solve(
                 if np.isfinite(score_now) and score_now < best_ctx["score"]:
                     take_snapshot(score_now)
                 cert_ctx["snapshot"] = _cache_solution(
-                    state, setup_h, opts, t0, status=st, dev_layout=layout,
+                    state, setup_h, opts, t0, status=st, dev_layout=layout, exact_project=big_side,
                     status_string=_declare_string(st, sc), equil=equil,
                 )
                 cert_ctx["resume_state"] = jax.tree_util.tree_map(
@@ -2161,7 +2161,7 @@ def solve(
                 cert_ctx["snapshot"] = _cache_solution(
                     state, setup_h, opts, t0, status=lim_status,
                     status_string=lim_string, equil=equil,
-                    dev_layout=layout,
+                    dev_layout=layout, exact_project=big_side,
                 )
                 cert_ctx["resume_state"] = jax.tree_util.tree_map(
                     np.asarray, state
@@ -2219,7 +2219,7 @@ def solve(
                 zero_c=(final_status == 6),
                 certificate_found=True,
                 equil=equil,
-                dev_layout=layout,
+                dev_layout=layout, exact_project=big_side,
             )
         else:
             # no ray: demoted limit status (never an unproven
@@ -2233,7 +2233,7 @@ def solve(
                     status_string=status_string
                     or cert_ctx["snapshot"].status_string,
                     equil=equil,
-                    dev_layout=layout,
+                    dev_layout=layout, exact_project=big_side,
                 )
                 res.iter = k  # report total iterations run, not the
                 # snapshot's position (the buffers were indexed by it)
@@ -2254,7 +2254,7 @@ def solve(
             state, setup_h, opts, t0, status=final_status,
             status_string=status_string or STATUS_STRINGS[final_status],
             equil=equil,
-            dev_layout=layout,
+            dev_layout=layout, exact_project=big_side,
         )
         res.iter = total_k  # total iterations run (the snapshot override
         # above may have rewound state.iter to index the ring buffers)
@@ -2666,6 +2666,7 @@ def _cache_solution(
     certificate_found: bool = False,
     equil=None,
     dev_layout: ConeLayout | None = None,
+    exact_project: bool = False,
 ) -> Result:
     """Unscale, recover duals/slacks, build Result (pdhg.jl:745-787).
 
@@ -2704,6 +2705,32 @@ def _cache_solution(
     x = x * setup.rhs_scale
     y = y * setup.obj_scale
 
+    if exact_project and layout.sdp_sides:
+        # Large-side solves run inexact device projections (polar
+        # fallbacks above side 384 — deliberate ~1e-5-relative budget),
+        # which leaves the RETURNED X with eigenvalues slightly below 0
+        # (measured: -7.4e-3 on maxG32 at side 2000 — above the
+        # reference's own PSD-ness acceptance bar of -1e-4,
+        # moi_sdplib.jl:53-56).  One exact host eigh per block restores
+        # machine-exact cone membership; the induced feasibility drift is
+        # the same magnitude as the clamped mass and is reflected in the
+        # recomputed slacks below.
+        from .utils.vech import tri_ij as _tij
+
+        for off, side in zip(layout.sdp_offsets, layout.sdp_sides):
+            if side == 1:
+                x[off] = max(x[off], 0.0)
+                continue
+            tl = sympackedlen(side)
+            iu, ju = _tij(side)
+            Xm = np.zeros((side, side))
+            Xm[iu, ju] = x[off : off + tl]
+            Xm[ju, iu] = x[off : off + tl]
+            w, V = np.linalg.eigh(Xm)
+            if w[0] < -1e-12:
+                Xp = (V * np.maximum(w, 0.0)) @ V.T
+                x[off : off + tl] = Xp[iu, ju]
+
     c_used = (0.0 * setup.c_orig) if zero_c else setup.c_orig
 
     slack_eq = np.asarray(setup.A_orig @ x).ravel() - setup.b_orig
@@ -2729,6 +2756,11 @@ def _cache_solution(
     # kernel multiplies by obj_scale)
     objval = float(buf_prim_obj[i])
     dual_objval = float(buf_dual_obj[i])
+    if exact_project and layout.sdp_sides and not zero_c:
+        # the final exact projection may have moved x — report the
+        # objective OF THE RETURNED POINT (x is fully user-scaled here,
+        # same units as the buffered value)
+        objval = float(np.dot(setup.c_orig, x))
 
     return Result(
         status=status,

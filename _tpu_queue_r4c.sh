@@ -15,4 +15,13 @@ timeout 5400 python benchmarks/batch_compile_probe.py > $Q/batch_probe.log 2>&1
 timeout 2700 python benchmarks/proj_modes.py maxG11 200 > $Q/proj_modes_maxG11.log 2>&1
 timeout 2700 python benchmarks/proj_modes.py qpG11 100 > $Q/proj_modes_qpG11.log 2>&1
 
+# gpp500-3/4 at a tighter gap: at tol 1e-4 the duality-gap certificate
+# on this family legitimately leaves ~1.4e-3 objective error (||c||~1e3,
+# see BASELINE.md "gpp500 tolerance semantics") — tighten to land under
+# the 1e-3 parity bar
+for inst in gpp500-3 gpp500-4; do
+  timeout 2700 python benchmarks/parity.py --instances $inst --tol 2e-5 \
+    --time-limit 600 --out $Q/gt_${inst}.csv > $Q/gt_${inst}.log 2>&1
+done
+
 echo QUEUE_R4C_DONE > $Q/DONE_C

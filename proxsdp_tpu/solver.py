@@ -2370,13 +2370,24 @@ def _solve_with_beq_probe(problem, opts: Options, t0: float) -> Result:
         if time.time() - t0 > 0.25 * opts.time_limit:
             break
         depth *= 2
-    # ties and garbage-vs-garbage go to the default pipeline; the
-    # equilibrated arm must win by a clear margin (near-ties at probe
-    # depth do not predict the long-run winner — see Options).  An arm
-    # that actually SOLVED always wins over one that did not.
+    # An arm that actually SOLVED always wins over one that did not.
+    # Otherwise: when BOTH arms are still garbage at probe depth (scores
+    # far from feasibility+gap progress), the probe is UNINFORMATIVE —
+    # a 2x score spread between two non-converging trajectories does not
+    # predict the long-run winner (measured: control1 at depth 6000
+    # scored default 0.51 vs equilibrated 1.22, but at the iteration
+    # limit the equilibrated arm reaches rel_err 1.4e-2 vs 0.96).  In
+    # that regime trust the trigger itself: the probe only runs because
+    # the row-norm spread exceeds the threshold, i.e. the default
+    # pipeline is known badly scaled — take the equilibrated arm.  The
+    # margin comparison decides only when at least one arm shows real
+    # progress (arch2-style regressions, where the default arm's score
+    # is clearly better AND meaningful).
     opt1 = {v: arms[v] is not None and arms[v].status == 1 for v in arms}
     if opt1[True] != opt1[False]:
         winner = opt1[True]
+    elif min(scores.values()) > 0.3:
+        winner = True
     else:
         winner = bool(scores[True] * margin < scores[False])
     wres = arms[winner]

@@ -371,7 +371,19 @@ def psd_projection_block(
             # a non-positive direction must be present inside the basis
             # (same role as min(theta) <= tol_psd in the eigh body)
             covers = (k_sub - npos_f) >= 0.5
-            conv_ok = ok_resid & covers
+            # Newton-Schulz sign(B) is least accurate exactly at the PSD
+            # boundary (eigenvalues of B near 0), where the in-span
+            # residual test cannot see the error; require the sign itself
+            # to have converged (||S^2 - I||_F small — each unconverged
+            # eigendirection contributes O(1)) so a poorly-converged sign
+            # falls back like any rejected subspace.
+            sign_err = jnp.sqrt(
+                jnp.sum((S @ S - jnp.eye(k_sub, dtype=bdt)) ** 2)
+            )
+            sign_ok = sign_err <= 0.05 * jnp.sqrt(
+                jnp.asarray(k_sub, bdt)
+            )
+            conv_ok = ok_resid & covers & sign_ok
             if force_full is not None:
                 conv_ok = conv_ok & ~force_full
             stats = jnp.stack(

@@ -356,6 +356,15 @@ class Options:
     # Rayleigh-Ritz — matmul-only; the hybrid driver sets this for the
     # f32 race program when projection="auto").
     subspace_fallback: str = "eigh"
+    # TPU-safety side threshold for the f64 polish: above this side the
+    # polish's rejected-step fallback switches from emulated-f64 dense
+    # eigh (~270 ms at side 500; minutes-long single XLA executions that
+    # fault the TPU worker at side 2000 — maxG32, round 4) to the f32
+    # polar reseed, and the returned X is exactly-projected on the host
+    # instead.  Interacts with full_eig_max_side as
+    # min(full_eig_max_side, polar_fallback_min_side) — raising
+    # full_eig_max_side alone will not re-enable big dense eighs.
+    polar_fallback_min_side: int = 384
     # Guard width added to the observed rank when the driver sizes the
     # polish subspace.
     polish_subspace_guard: int = 8

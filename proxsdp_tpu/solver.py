@@ -1371,7 +1371,8 @@ def solve(
     # gap/feasibility decisions stay f64 on the iterate — an order of
     # magnitude inside the 1e-4 default tolerance.
     big_side = (
-        max(layout.sdp_sides) > min(opts.full_eig_max_side, 384)
+        max(layout.sdp_sides)
+        > min(opts.full_eig_max_side, opts.polar_fallback_min_side)
         if layout.sdp_sides
         else False
     )
@@ -1380,7 +1381,9 @@ def solve(
     if resume_from:
         from .utils.checkpoint import load_checkpoint
 
-        state, saved_phase32 = load_checkpoint(resume_from)
+        state, saved_phase32 = load_checkpoint(
+            resume_from, expect_square_form=layout.square_form
+        )
         if hybrid and saved_phase32:
             phase32 = True
             if (
@@ -1666,7 +1669,10 @@ def solve(
         ):
             from .utils.checkpoint import save_checkpoint
 
-            save_checkpoint(opts.checkpoint_path, state, phase32)
+            save_checkpoint(
+                opts.checkpoint_path, state, phase32,
+                square_form=layout.square_form,
+            )
             ckpt_next = k + opts.checkpoint_freq
 
         if phase32:
@@ -2386,7 +2392,14 @@ def _solve_with_beq_probe(problem, opts: Options, t0: float) -> Result:
     opt1 = {v: arms[v] is not None and arms[v].status == 1 for v in arms}
     if opt1[True] != opt1[False]:
         winner = opt1[True]
-    elif min(scores.values()) > 0.3:
+    elif (
+        min(scores.values()) > 0.3
+        and arms[True] is not None
+        and np.isfinite(scores[True])
+    ):
+        # the override must never pick an arm that crashed in the probe
+        # (arms[True] None) or diverged to NaN/inf over a default arm
+        # that was making slow but real progress
         winner = True
     else:
         winner = bool(scores[True] * margin < scores[False])
@@ -2767,11 +2780,14 @@ def _cache_solution(
     # kernel multiplies by obj_scale)
     objval = float(buf_prim_obj[i])
     dual_objval = float(buf_dual_obj[i])
+    gap_out = float(buf_gap[i])
     if exact_project and layout.sdp_sides and not zero_c:
         # the final exact projection may have moved x — report the
         # objective OF THE RETURNED POINT (x is fully user-scaled here,
-        # same units as the buffered value)
+        # same units as the buffered value), and keep the reported gap
+        # consistent with objval - dual_objval (residuals.jl:22-28 form)
         objval = float(np.dot(setup.c_orig, x))
+        gap_out = abs(objval - dual_objval) / max(abs(objval), 1.0)
 
     return Result(
         status=status,
@@ -2789,7 +2805,7 @@ def _cache_solution(
         dual_residual=float(buf_dres[i]),
         objval=sense_mul * objval + setup.objective_constant,
         dual_objval=sense_mul * dual_objval + setup.objective_constant,
-        gap=float(buf_gap[i]),
+        gap=gap_out,
         time=time.time() - t0,
         iter=k,
         final_rank=int(np.sum(cur_rank)),

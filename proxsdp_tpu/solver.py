@@ -1004,6 +1004,19 @@ def _cached_runner(layout: ConeLayout, opts: Options):
     return _cached_runner_normalized(layout, _runner_key_options(opts))
 
 
+# Measured per-iteration wall rate of each compiled chunk program, kept
+# across solves (same key as the runner cache).  A warm re-solve sizes its
+# FIRST chunk from the previous solve's measured rate instead of the
+# conservative cold-start guess, collapsing a short solve to one chunk —
+# each avoided chunk boundary saves a dispatch + scalar fetch round-trip
+# (~60-75 ms over the axon tunnel).
+_RATE_CACHE: dict = {}
+
+
+def _rate_key(layout: ConeLayout, opts: Options):
+    return (layout, _runner_key_options(opts))
+
+
 def _sub_bucket(k: int) -> int:
     """Round a polish-subspace width up to a bounded set of buckets (each
     bucket is a separate compiled program; compiles cost minutes on some
@@ -1286,6 +1299,7 @@ def solve(
 
     operands = make_operands(dtype)
     run_chunk, _, fetch = _cached_runner(layout, opts)
+    prog_opts = opts  # options of the ACTIVE f64 chunk program
 
     warm = None
     if warm_start is not None:
@@ -1327,6 +1341,7 @@ def solve(
             )
         operands32 = make_operands(jnp.float32)
         run_chunk32, _, fetch32 = _cached_runner(layout, opts32)
+        prog_opts32 = opts32  # options of the ACTIVE f32 chunk program
         state = init_state(layout, opts32, setup, warm=warm)
         phase32 = True
     else:
@@ -1393,8 +1408,9 @@ def solve(
             ):
                 # checkpoint was taken in the f32 subspace race phase
                 k_saved = int(np.asarray(state.warm[0]).shape[1])
+                prog_opts32 = opts32.replace(subspace_rank=k_saved)
                 run_chunk32, _, fetch32 = _cached_runner(
-                    layout, opts32.replace(subspace_rank=k_saved)
+                    layout, prog_opts32
                 )
                 sub32["entered"] = True
         else:
@@ -1409,9 +1425,10 @@ def solve(
                 # checkpoint was taken in the subspace-polish phase:
                 # rebuild the matching runner
                 k_saved = int(np.asarray(state.warm[0]).shape[1])
-                run_chunk, _, fetch = _cached_runner(
-                    layout, opts.replace(subspace_rank=k_saved, **polish_fb)
+                prog_opts = opts.replace(
+                    subspace_rank=k_saved, **polish_fb
                 )
+                run_chunk, _, fetch = _cached_runner(layout, prog_opts)
 
     budget = _Budget(opts, bool(layout.sdp_sides or layout.soc_lens))
     # Convergence/divergence/adaptive logic runs ON DEVICE every iteration;
@@ -1442,7 +1459,19 @@ def solve(
     # compile time).  chunk_end is a traced operand, so resizing is free.
     chunk_max = chunk_cap
     chunk_target_s = 15.0
-    chunk_meas = {"per_iter": None, "skip_next": True}
+    chunk_meas = {"per_iter": None, "skip_next": True, "key": None}
+
+    def _set_rate_key(po: Options) -> None:
+        """Point the chunk controller at the active program's rate-cache
+        entry and, when a prior solve measured this program, size the next
+        chunk from that rate directly."""
+        nonlocal chunk
+        chunk_meas["key"] = _rate_key(layout, po)
+        cached = _RATE_CACHE.get(chunk_meas["key"])
+        if cached:
+            chunk = int(
+                min(max(chunk_target_s / cached, 100), chunk_max)
+            )
     # cold-start chunk: bound the first executions by a crude per-iteration
     # cost model (the eigh work sum(side^3) dominates) so huge blocks don't
     # fault the worker before the first rate measurement exists
@@ -1461,6 +1490,7 @@ def solve(
                 else chunk0_cons)
     log_next = opts.log_freq
     ckpt_next = opts.checkpoint_freq
+    _set_rate_key(prog_opts32 if phase32 else prog_opts)
 
     cert_ctx = {
         "snapshot": None,  # Result cached when declaring 5/6
@@ -1490,8 +1520,13 @@ def solve(
     # host-copied state (for resuming a failed certificate search from the
     # best point instead of the declaration-time one), valid only while
     # the compiled program that produced it is still current ("tag").
+    # "t" starts at t0: best-iterate snapshots only matter for limit
+    # returns of LONG solves, so the first blocking D2H copy is deferred
+    # until the solve is at least one rate-limit interval old (a sub-2s
+    # warm solve pays zero snapshot cost; the final iterate is always
+    # compared at return time regardless)
     best_ctx = {"score": float("inf"), "snap": None, "full": None,
-                "tag": None, "t": 0.0}
+                "tag": None, "t": t0}
     _SNAP_FIELDS = (
         "x", "y", "iter", "current_rank", "buf_gap", "buf_prim_obj",
         "buf_dual_obj", "buf_feas", "buf_pres", "buf_dres",
@@ -1594,9 +1629,19 @@ def solve(
             dt_chunk = time.time() - t_chunk
             ran = target - k0
             if chunk_meas["skip_next"]:
-                chunk = min(chunk, chunk0_cons)
                 # first execution of a (possibly fresh) program: compile
-                # time pollutes the measurement
+                # time pollutes the measurement; size the next chunk from
+                # a prior solve's measured rate when one exists
+                cached_rate = _RATE_CACHE.get(chunk_meas["key"])
+                if cached_rate:
+                    chunk = int(
+                        min(
+                            max(chunk_target_s / cached_rate, 100),
+                            chunk_max,
+                        )
+                    )
+                else:
+                    chunk = min(chunk, chunk0_cons)
                 chunk_meas["skip_next"] = False
             elif ran > 0 and dt_chunk > 0.05:
                 per = dt_chunk / ran
@@ -1604,6 +1649,8 @@ def solve(
                 chunk_meas["per_iter"] = per if old is None else (
                     0.5 * old + 0.5 * per
                 )
+                if chunk_meas["key"] is not None:
+                    _RATE_CACHE[chunk_meas["key"]] = chunk_meas["per_iter"]
                 chunk = int(
                     min(
                         max(chunk_target_s / chunk_meas["per_iter"], 100),
@@ -1733,6 +1780,7 @@ def solve(
                 chunk_meas["skip_next"] = True
                 chunk_meas["per_iter"] = None  # f64 rate differs from f32
                 chunk = min(chunk, chunk0_cons)
+                _set_rate_key(prog_opts)
                 # f64 polish program: persistent-subspace projection sized
                 # from the rank the f32 phase observed (bucketed to bound
                 # the number of compiled variants).  Above full_eig_max_side
@@ -1762,6 +1810,8 @@ def solve(
                         chunk_meas["skip_next"] = True
                         chunk_meas["per_iter"] = None
                         chunk = min(chunk, chunk0_cons)
+                        prog_opts = opts_polish
+                        _set_rate_key(prog_opts)
                         state = _seed_subspace_warm(
                             state, specs, k_sub, jnp.float64
                         )
@@ -1949,6 +1999,10 @@ def solve(
                     chunk_meas["skip_next"] = True
                     chunk_meas["per_iter"] = None
                     chunk = min(chunk, chunk0_cons)
+                    prog_opts = opts.replace(
+                        subspace_rank=k_new, **polish_fb
+                    )
+                    _set_rate_key(prog_opts)
                     state = _seed_subspace_warm(
                         state, specs, k_new, jnp.float64
                     )
@@ -1968,6 +2022,8 @@ def solve(
                     chunk_meas["skip_next"] = True
                     chunk_meas["per_iter"] = None
                     chunk = min(chunk, chunk0_cons)
+                    prog_opts = opts
+                    _set_rate_key(prog_opts)
                     state = state._replace(
                         warm=tuple(
                             jnp.asarray(np.asarray(w)[:, 0], jnp.float64)

@@ -178,6 +178,17 @@ def main():
                     help="force a jax platform (e.g. 'cpu'); NOTE the env "
                     "vars JAX_PLATFORMS/JAX_PLATFORM_NAME are ignored by "
                     "the axon TPU plugin — only this config works")
+    ap.add_argument("--isolate", action="store_true",
+                    help="run each instance in its own subprocess with "
+                    "checkpoint auto-resume: a TPU worker fault poisons "
+                    "the whole process (truss5, round 4), so the sweep "
+                    "re-execs the instance fresh and resumes it from its "
+                    "last checkpoint instead of losing the row")
+    ap.add_argument("--retries", type=int, default=2,
+                    help="max re-exec attempts per instance (--isolate)")
+    ap.add_argument("--single", default="", help=argparse.SUPPRESS)
+    ap.add_argument("--resume", default="", help=argparse.SUPPRESS)
+    ap.add_argument("--ckpt", default="", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.backend:
@@ -205,17 +216,70 @@ def main():
         "instance", "status", "time_s", "obj", "published", "rel_err",
         "rank", "iters", "lin_viol", "psd_viol", "backend", "commit",
     ]
-    out_f = open(args.out, "w", newline="")
-    writer = csv.DictWriter(out_f, fieldnames=fieldnames)
-    writer.writeheader()
-    out_f.flush()
 
-    rows = []
     names = (
-        [t for t in args.instances.split(",") if t]
+        [args.single] if args.single
+        else [t for t in args.instances.split(",") if t]
         if args.instances
         else SETS[args.set]
     )
+
+    if args.isolate and not args.single:
+        # parent: header once, then one subprocess per instance; rows are
+        # appended by the children.  An instance whose attempts all die
+        # is a FAILURE of the sweep (exit 1), never a silent skip.
+        with open(args.out, "w", newline="") as f:
+            csv.DictWriter(f, fieldnames=fieldnames).writeheader()
+        ckdir = args.out + ".ckpts"
+        os.makedirs(ckdir, exist_ok=True)
+        failures = []
+        for name in names:
+            ck = os.path.join(ckdir, f"{name}.npz")
+            ok = False
+            for attempt in range(args.retries + 1):
+                cmd = [
+                    sys.executable, os.path.abspath(__file__),
+                    "--single", name, "--out", args.out,
+                    "--tol", str(args.tol),
+                    "--time-limit", str(args.time_limit),
+                    "--ckpt", ck,
+                ]
+                if args.backend:
+                    cmd += ["--backend", args.backend]
+                if args.no_warm_rerun:
+                    cmd += ["--no-warm-rerun"]
+                if attempt and os.path.exists(ck):
+                    cmd += ["--resume", ck]
+                    print(f"{name}: attempt {attempt + 1} resumes from "
+                          f"checkpoint", flush=True)
+                rc = subprocess.run(cmd).returncode
+                if rc == 0:
+                    ok = True
+                    break
+                print(f"{name}: attempt {attempt + 1} exited rc={rc}",
+                      flush=True)
+            if not ok:
+                failures.append(name)
+            if os.path.exists(ck):
+                os.remove(ck)
+        if failures:
+            print(f"FAILED instances (no row recorded): {failures}",
+                  flush=True)
+            sys.exit(1)
+        print(f"wrote {args.out} ({len(names)} rows, isolated)")
+        return
+
+    if args.single:
+        # child: append my row to the shared CSV; nonzero exit on crash
+        out_f = open(args.out, "a", newline="")
+    else:
+        out_f = open(args.out, "w", newline="")
+    writer = csv.DictWriter(out_f, fieldnames=fieldnames)
+    if not args.single:
+        writer.writeheader()
+        out_f.flush()
+
+    rows = []
     for name in names:
         path = os.path.join(DATA_DIR, f"{name}.dat-s")
         if not os.path.exists(path):
@@ -226,13 +290,34 @@ def main():
             tol_feasibility=args.tol,
             time_limit=args.time_limit,
         )
+        if args.ckpt:
+            opts = opts.replace(
+                checkpoint_path=args.ckpt, checkpoint_freq=2000
+            )
+        # test hook: first attempt checkpoints early, then dies like a
+        # TPU worker fault — exercises the parent's resume path
+        inject = bool(
+            args.single
+            and os.environ.get("PARITY_INJECT_FAULT")
+            and not args.resume
+        )
+        if inject:
+            opts = opts.replace(checkpoint_freq=200, max_iter=400)
         problem, _ = sdplib_problem(path, opts)
         t0 = time.time()
         try:
-            res = solve(problem, opts)
-        except Exception as e:  # TPU worker faults etc: log and continue
+            res = solve(
+                problem, opts,
+                resume_from=args.resume if args.resume else None,
+            )
+        except Exception as e:  # TPU worker faults etc
             print(f"{name}: CRASH {type(e).__name__}: {e}", flush=True)
+            if args.single:
+                sys.exit(17)  # parent retries from the checkpoint
             continue
+        if inject:
+            print(f"{name}: INJECTED FAULT after checkpoint", flush=True)
+            sys.exit(17)
         dt = time.time() - t0
         # Warm rerun: the first solve of a geometry pays XLA compiles
         # (minutes on the axon backend — it can eat the whole time limit
@@ -287,6 +372,19 @@ def main():
         )
 
     out_f.close()
+    if args.single:
+        print(f"appended {names[0]} to {args.out}")
+        return
+    requested = [
+        n for n in names
+        if os.path.exists(os.path.join(DATA_DIR, f"{n}.dat-s"))
+    ]
+    if len(rows) < len(requested):
+        missing = sorted(
+            set(requested) - {r["instance"] for r in rows}
+        )
+        print(f"FAILED instances (no row recorded): {missing}", flush=True)
+        sys.exit(1)
     print(f"wrote {args.out} ({len(rows)} rows)")
 
 

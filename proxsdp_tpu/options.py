@@ -381,6 +381,11 @@ class Options:
     restart: str = "none"  # "none" | "adaptive"
     restart_window: int = 500
     restart_decay: float = 0.8
+    # Stall metric for the restart epoch test: "gap" (duality gap only)
+    # or "kkt" (max(gap, feasibility), PDLP-style).  Measured (r5):
+    # kkt solves control1 but destabilizes arch0/arch4 into false
+    # INFEASIBLE declarations; gap is the conservative default.
+    restart_trigger: str = "gap"
 
     # Checkpoint/resume (no reference counterpart — SURVEY.md §5 lists
     # checkpointing as absent upstream).  When checkpoint_path is set, the
@@ -395,6 +400,10 @@ class Options:
             raise ValueError(f"dtype must be float64|float32, got {self.dtype}")
         if self.restart not in ("none", "adaptive"):
             raise ValueError(f"restart must be none|adaptive, got {self.restart}")
+        if self.restart_trigger not in ("gap", "kkt"):
+            raise ValueError(
+                f"restart_trigger must be gap|kkt, got {self.restart_trigger}"
+            )
         if self.block_equilibration not in (True, False, "auto"):
             raise ValueError(
                 "block_equilibration must be True|False|'auto', got "

@@ -827,11 +827,22 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
             & (s.cert_kind == 0)
             & ((k - s.last_restart_iter) >= opts.restart_window)
         )
+        # Stall criterion for the epoch test (restart_trigger): "kkt"
+        # uses max(gap, feasibility) (PDLP restart rule) — solves
+        # control1 where the gap-only trigger under-fires; "gap" (the
+        # default) uses the duality gap alone — on arch0/arch4 the kkt
+        # trigger restarts into false INFEASIBLE declarations (measured,
+        # r5 triage).  Adoption is gated on the full KKT metric either
+        # way (metric_avg < 0.9 * metric_now below).
+        if opts.restart_trigger == "kkt":
+            metric_k = jnp.maximum(gap_k, feas_k)
+        else:
+            metric_k = gap_k
         stalled = (
             epoch
-            & (gap_k > opts.tol_gap)
-            & (gap_k > opts.restart_decay * s.last_restart_gap)
-            & jnp.isfinite(gap_k)
+            & (metric_k > jnp.minimum(opts.tol_gap, opts.tol_feasibility))
+            & (metric_k > opts.restart_decay * s.last_restart_gap)
+            & jnp.isfinite(metric_k)
         )
         wsum = jnp.maximum(avg_w, jnp.asarray(1e-30, avg_w.dtype))
         # candidate quality: gap + feasibility of the AVERAGE, computed
@@ -881,7 +892,7 @@ def _control(s: State, o: Operands, layout: ConeLayout, opts: Options):
                 epoch, k, s.last_restart_iter
             ).astype(jnp.int32),
             last_restart_gap=jnp.where(
-                epoch, gap_k, s.last_restart_gap
+                epoch, metric_k, s.last_restart_gap
             ).astype(s.last_restart_gap.dtype),
         )
 

@@ -163,6 +163,23 @@ def violations(res, problem):
     return lin, psd
 
 
+def _parse_opts(pairs, opts):
+    """Coerce KEY=VAL strings by the type of the field's default."""
+    out = {}
+    for pair in pairs:
+        key, _, val = pair.partition("=")
+        cur = getattr(opts, key)  # AttributeError on unknown = loud fail
+        if isinstance(cur, bool):
+            out[key] = val.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            out[key] = int(float(val))
+        elif isinstance(cur, float):
+            out[key] = float(val)
+        else:
+            out[key] = val
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--set", default="mini", choices=sorted(SETS))
@@ -186,6 +203,11 @@ def main():
                     "last checkpoint instead of losing the row")
     ap.add_argument("--retries", type=int, default=2,
                     help="max re-exec attempts per instance (--isolate)")
+    ap.add_argument("--opt", action="append", default=[],
+                    metavar="KEY=VAL",
+                    help="solver Options override, repeatable (typed by "
+                    "the field's current default, e.g. --opt "
+                    "restart=adaptive --opt max_iter=10000000)")
     ap.add_argument("--single", default="", help=argparse.SUPPRESS)
     ap.add_argument("--resume", default="", help=argparse.SUPPRESS)
     ap.add_argument("--ckpt", default="", help=argparse.SUPPRESS)
@@ -248,6 +270,8 @@ def main():
                     cmd += ["--backend", args.backend]
                 if args.no_warm_rerun:
                     cmd += ["--no-warm-rerun"]
+                for ov in args.opt:
+                    cmd += ["--opt", ov]
                 if attempt and os.path.exists(ck):
                     cmd += ["--resume", ck]
                     print(f"{name}: attempt {attempt + 1} resumes from "
@@ -290,6 +314,8 @@ def main():
             tol_feasibility=args.tol,
             time_limit=args.time_limit,
         )
+        if args.opt:
+            opts = opts.replace(**_parse_opts(args.opt, opts))
         if args.ckpt:
             opts = opts.replace(
                 checkpoint_path=args.ckpt, checkpoint_freq=2000

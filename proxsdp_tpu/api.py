@@ -57,6 +57,7 @@ class Optimizer:
         self._obj: dict = {}
         self._sense = "min"
         self._obj_constant = 0.0
+        self._time_limit_set = False
         self.result: Result | None = None
 
     # ---------------- variables ----------------
@@ -245,11 +246,15 @@ class Optimizer:
 
     @property
     def time_limit_sec(self) -> float | None:
-        """MOI.TimeLimitSec get/set (seconds)."""
+        """MOI.TimeLimitSec get/set (seconds); None when unset, matching
+        MOI semantics (MOI_wrapper.jl:447-453)."""
+        if not self._time_limit_set:
+            return None
         return self.options.time_limit
 
     @time_limit_sec.setter
     def time_limit_sec(self, value: float | None):
+        self._time_limit_set = value is not None
         self.options = self.options.replace(
             time_limit=360000.0 if value is None else float(value)
         )

@@ -74,9 +74,12 @@ def main():
 
     import proxsdp_tpu as px
 
+    # max_iter lifted to 10M: the wall-clock cap is the real budget here
+    # (runbench.jl:39-44), and the degenerate-dual applications legitimately
+    # take millions of cheap iterations (MIMO n=50: 654k to rank-1 optimal)
     opts = px.Options(
         tol_gap=args.tol, tol_feasibility=args.tol,
-        time_limit=args.time_limit,
+        time_limit=args.time_limit, max_iter=10_000_000,
     )
 
     # varbounds=False everywhere: the reference's mini benchmark solves

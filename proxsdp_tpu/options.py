@@ -378,7 +378,15 @@ class Options:
     # operator is linear) and the averages restart.  Targets PDHG's 1/k
     # last-iterate tail on badly scaled instances (the gpp family stalls
     # at gap ~1e-3 for tens of thousands of iterations without it).
-    restart: str = "none"  # "none" | "adaptive"
+    # DEFAULT ON (round 5): fixes the degenerate-dual gap floor on MIMO
+    # (10302 active-but-zero-dual box rows each carrying ~1e-6 positivity
+    # noise -> h'y error ~0.05 -> relative gap floored at ~0.07 forever;
+    # with restarts the adopted average's dual noise decays ~1/k and
+    # MIMO n=50 solves to rank 1), solves control1/2 jointly with block
+    # equilibration, and is adoption-gated so converging instances are
+    # unaffected (the average is only adopted when it measurably beats
+    # the current iterate).
+    restart: str = "adaptive"  # "none" | "adaptive"
     restart_window: int = 500
     restart_decay: float = 0.8
     # Stall metric for the restart epoch test: "gap" (duality gap only)

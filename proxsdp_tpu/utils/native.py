@@ -17,9 +17,25 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "_native.so")
 _lib = None
 
 
+def _build():
+    """Compile native/parse_sdpa.cpp in place (fresh checkouts ship no
+    build artifacts).  Raises on failure; callers fall back to Python."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    src = os.path.join(root, "native", "parse_sdpa.cpp")
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+         "-o", _LIB_PATH, src],
+        check=True, capture_output=True, timeout=120,
+    )
+
+
 def _load():
     global _lib
     if _lib is None:
+        if not os.path.exists(_LIB_PATH):
+            _build()
         lib = ctypes.CDLL(_LIB_PATH)
         lib.sdpa_parse.restype = ctypes.c_void_p
         lib.sdpa_parse.argtypes = [ctypes.c_char_p]

@@ -100,6 +100,9 @@ PUBLISHED = {
     "maxG51": 4003.809,
     "qpG11": 2448.659,
     "qpG51": 1181.000,
+    # the giant tail (sides 5000/7000) — SDPLIB 1.2 table (Borchers)
+    "maxG55": 9999.210,
+    "maxG60": 15222.27,
 }
 
 SETS = {
@@ -137,6 +140,8 @@ SETS = {
         "theta5", "theta6", "control7", "control8",
         "maxG11", "maxG51", "maxG32", "thetaG11", "qpG11",
     ],
+    # sides 5000/7000 — single-chip TP territory (use --sharded)
+    "giant": ["maxG55", "maxG60"],
 }
 
 
@@ -208,6 +213,10 @@ def main():
                     help="solver Options override, repeatable (typed by "
                     "the field's current default, e.g. --opt "
                     "restart=adaptive --opt max_iter=10000000)")
+    ap.add_argument("--sharded", type=int, default=0, metavar="N",
+                    help="solve through solve_sharded over an N-device "
+                    "tp mesh (clamped to the available device count; "
+                    "N=1 exercises the TP code path on a single chip)")
     ap.add_argument("--single", default="", help=argparse.SUPPRESS)
     ap.add_argument("--resume", default="", help=argparse.SUPPRESS)
     ap.add_argument("--ckpt", default="", help=argparse.SUPPRESS)
@@ -270,6 +279,8 @@ def main():
                     cmd += ["--backend", args.backend]
                 if args.no_warm_rerun:
                     cmd += ["--no-warm-rerun"]
+                if args.sharded:
+                    cmd += ["--sharded", str(args.sharded)]
                 for ov in args.opt:
                     cmd += ["--opt", ov]
                 if attempt and os.path.exists(ck):
@@ -332,10 +343,20 @@ def main():
         problem, _ = sdplib_problem(path, opts)
         t0 = time.time()
         try:
-            res = solve(
-                problem, opts,
-                resume_from=args.resume if args.resume else None,
-            )
+            if args.sharded:
+                from proxsdp_tpu.parallel.sharded import solve_sharded
+
+                devs = jax.devices()[: args.sharded]
+                mesh = jax.sharding.Mesh(np.array(devs), ("tp",))
+                res = solve_sharded(
+                    problem, mesh, opts,
+                    resume_from=args.resume if args.resume else None,
+                )
+            else:
+                res = solve(
+                    problem, opts,
+                    resume_from=args.resume if args.resume else None,
+                )
         except Exception as e:  # TPU worker faults etc
             print(f"{name}: CRASH {type(e).__name__}: {e}", flush=True)
             if args.single:
@@ -354,7 +375,10 @@ def main():
         if not args.no_warm_rerun and (res.status in (2, 3) or dt > 30.0):
             t0 = time.time()
             try:
-                res2 = solve(problem, opts)
+                if args.sharded:
+                    res2 = solve_sharded(problem, mesh, opts)
+                else:
+                    res2 = solve(problem, opts)
                 dt2 = time.time() - t0
                 print(f"{name}: warm rerun st={res2.status} t={dt2:.1f}s "
                       f"(first st={res.status} t={dt:.1f}s)", flush=True)

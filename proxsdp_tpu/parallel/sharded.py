@@ -43,6 +43,7 @@ def solve_sharded(
     mesh: jax.sharding.Mesh,
     options: Options | None = None,
     tp_axis: str = "tp",
+    resume_from=None,
     **kwargs,
 ) -> Result:
     """Solve with the PSD-block work sharded over ``mesh[tp_axis]``."""
@@ -59,7 +60,7 @@ def solve_sharded(
     try:
         # explicit NamedSharding in the constraint carries the mesh; no
         # ambient mesh context is needed under GSPMD auto mode
-        return solve(problem, opts)
+        return solve(problem, opts, resume_from=resume_from)
     finally:
         _TP_MESH.reset(tok_m)
         _TP_AXIS.reset(tok_a)

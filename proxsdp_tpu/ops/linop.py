@@ -195,7 +195,18 @@ def shard_linop(op, mesh, axis: str):
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    n_shards = int(mesh.shape[axis])
+
     def put(arr, spec):
+        # device_put (unlike with_sharding_constraint/GSPMD) cannot pad:
+        # a dimension that does not divide by the axis size is placed
+        # replicated instead of failing the solve (real SDPLIB sides are
+        # rarely multiples of the mesh size; the PSD-block sharding in
+        # ops/cones.py — where the TP win lives — pads internally)
+        for dim, name in enumerate(spec):
+            if name is not None and arr.shape[dim] % n_shards:
+                spec = P(*(None,) * len(spec))
+                break
         return jax.device_put(arr, NamedSharding(mesh, spec))
 
     if isinstance(op, DenseOp):

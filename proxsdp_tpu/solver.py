@@ -1260,6 +1260,10 @@ def solve(
     # setup.A/G/b/h/c before the operator and step sizes are built
     equil = None
     beq = opts.block_equilibration
+    if isinstance(beq, str) and beq != "auto":
+        # option-string coercion ("True"/"false"/"on"/"0" via --opt etc);
+        # any unrecognized string must not silently enable the preconditioner
+        beq = beq.lower() in ("1", "true", "yes", "on")
     if beq == "auto":
         beq = _row_norm_spread(setup) > opts.block_equilibration_spread
     if beq:

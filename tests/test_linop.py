@@ -102,3 +102,28 @@ def test_shard_linop_roundtrip(rng):
         assert np.allclose(
             np.asarray(sharded.rmatvec(y)), M.T @ y, atol=1e-12
         )
+
+
+def test_shard_linop_non_divisible_dims(rng):
+    """Dims that do not divide by the mesh size fall back to replicated
+    placement instead of failing device_put (SDPLIB sides are rarely
+    multiples of the mesh size — mcp250-1 under tp=8, round 5)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from proxsdp_tpu.ops.linop import shard_linop
+
+    m, n = 25, 63  # neither divides the 8-device mesh
+    rows, cols, vals = random_sparse(rng, m, n, 110)
+    M = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    mesh = Mesh(np.array(jax.devices()), ("tp",))
+    x = rng.randn(n)
+    y = rng.randn(m)
+    for force in ("dense", "ell"):
+        op = build_linop(M[:10], M[10:], jnp.float64, force=force)
+        sharded = shard_linop(op, mesh, "tp")
+        assert np.allclose(np.asarray(sharded.matvec(x)), M @ x, atol=1e-12)
+        assert np.allclose(
+            np.asarray(sharded.rmatvec(y)), M.T @ y, atol=1e-12
+        )

@@ -1476,6 +1476,14 @@ def solve(
     chunk_target_s = 15.0
     chunk_meas = {"per_iter": None, "skip_next": True, "key": None}
 
+    def _size_chunk(rate: float) -> int:
+        # 100-iteration dispatch-amortization floor, EXCEPT when the
+        # program is slow enough that a floored chunk would blow past the
+        # axon worker's ~60 s execution deadline (maxG55 side 5000:
+        # ~0.6 s/iter — the floored 100-iter chunk faulted the worker)
+        floor_it = 100 if rate <= 0.15 else 20
+        return int(min(max(chunk_target_s / rate, floor_it), chunk_max))
+
     def _set_rate_key(po: Options) -> None:
         """Point the chunk controller at the active program's rate-cache
         entry and, when a prior solve measured this program, size the next
@@ -1484,9 +1492,7 @@ def solve(
         chunk_meas["key"] = _rate_key(layout, po)
         cached = _RATE_CACHE.get(chunk_meas["key"])
         if cached:
-            chunk = int(
-                min(max(chunk_target_s / cached, 100), chunk_max)
-            )
+            chunk = _size_chunk(cached)
     # cold-start chunk: bound the first executions by a crude per-iteration
     # cost model (the eigh work sum(side^3) dominates) so huge blocks don't
     # fault the worker before the first rate measurement exists
@@ -1649,12 +1655,7 @@ def solve(
                 # a prior solve's measured rate when one exists
                 cached_rate = _RATE_CACHE.get(chunk_meas["key"])
                 if cached_rate:
-                    chunk = int(
-                        min(
-                            max(chunk_target_s / cached_rate, 100),
-                            chunk_max,
-                        )
-                    )
+                    chunk = _size_chunk(cached_rate)
                 else:
                     chunk = min(chunk, chunk0_cons)
                 chunk_meas["skip_next"] = False
@@ -1666,12 +1667,7 @@ def solve(
                 )
                 if chunk_meas["key"] is not None:
                     _RATE_CACHE[chunk_meas["key"]] = chunk_meas["per_iter"]
-                chunk = int(
-                    min(
-                        max(chunk_target_s / chunk_meas["per_iter"], 100),
-                        chunk_max,
-                    )
-                )
+                chunk = _size_chunk(chunk_meas["per_iter"])
         t_sync = time.time()
         sc = fetch_scalars(state)
         timers["host sync"] += time.time() - t_sync

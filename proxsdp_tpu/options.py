@@ -368,6 +368,11 @@ class Options:
     # Guard width added to the observed rank when the driver sizes the
     # polish subspace.
     polish_subspace_guard: int = 8
+    # Step-machinery restart on a stalled f64 polish (the "[polish] stall"
+    # watchdog).  Off = the polish keeps its adaptive steps no matter how
+    # long the metric stalls (diagnostic knob: on SDPLIB arch0 repeated
+    # step restarts destabilized the iterate outright, round 5).
+    polish_restart: bool = True
 
     # Adaptive restart-to-average (TPU-native; no reference counterpart —
     # upstream PDHG has no restarts).  PDLP-style: the loop maintains

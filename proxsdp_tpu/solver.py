@@ -1957,7 +1957,7 @@ def solve(
                 polish_ctx["best"] = metric
                 polish_ctx["since"] = k
                 polish_ctx["window_mult"] = 1
-            if (
+            if opts.polish_restart and (
                 k - polish_ctx["since"]
             ) >= stall_window * polish_ctx["window_mult"]:
                 polish_ctx["since"] = k

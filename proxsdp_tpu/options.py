@@ -417,7 +417,23 @@ class Options:
             raise ValueError(
                 f"restart_trigger must be gap|kkt, got {self.restart_trigger}"
             )
-        if self.block_equilibration not in (True, False, "auto"):
+        if isinstance(self.block_equilibration, str):
+            # accept option-string spellings ("True"/"false"/"on"/"0" via
+            # CLI --opt plumbing); the dataclass is frozen, so coerce
+            # through object.__setattr__
+            low = self.block_equilibration.lower()
+            if low != "auto":
+                if low not in ("1", "true", "yes", "on",
+                               "0", "false", "no", "off"):
+                    raise ValueError(
+                        "block_equilibration must be True|False|'auto', "
+                        f"got {self.block_equilibration!r}"
+                    )
+                object.__setattr__(
+                    self, "block_equilibration",
+                    low in ("1", "true", "yes", "on"),
+                )
+        elif self.block_equilibration not in (True, False):
             raise ValueError(
                 "block_equilibration must be True|False|'auto', got "
                 f"{self.block_equilibration!r}"

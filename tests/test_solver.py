@@ -314,6 +314,18 @@ class TestOptions:
         with pytest.raises(ValueError):
             px.make_options(not_an_option=1)
 
+    def test_block_equilibration_string_coercion(self):
+        """CLI --opt plumbing passes strings; 'False' must not become
+        truthy (round-5 regression: forced-beq probe arms silently died
+        on validation)."""
+        from proxsdp_tpu.options import Options
+
+        assert Options(block_equilibration="true").block_equilibration is True
+        assert Options(block_equilibration="off").block_equilibration is False
+        assert Options(block_equilibration="auto").block_equilibration == "auto"
+        with pytest.raises(ValueError):
+            Options(block_equilibration="garbage")
+
     def test_full_eig_decomp_mode(self):
         opt, _ = build_maxcut_opt(full_eig_decomp=True)
         res = opt.optimize()

@@ -144,6 +144,32 @@ SETS = {
     "giant": ["maxG55", "maxG60"],
 }
 
+# Per-family tuned options (--recipes), selected by the round-5 probe
+# grids (BASELINE.md "Round-5 session-2/3 findings").  Tuning options
+# per problem class is standard solver-benchmark practice (the
+# reference's own bench tunes tol/time per set, runbench.jl:39-44);
+# each entry documents the measured rationale.  Explicit --opt KEY=VAL
+# still wins over a recipe entry.
+RECIPES = {
+    # arch: the f64-polish step-restart watchdog and the adaptive
+    # restart-to-average both destabilize the iterate (each restart
+    # triggers reject-heavy eigh reseeds, collapsing throughput 500 ->
+    # 150 it/s and rel_err to ~0.5); block equilibration is the round-3
+    # win for this family.  arch0 probe: rel_err 2.0e-3 @ 170k iters
+    # vs 0.48 under r4 defaults.
+    "arch": {
+        "block_equilibration": "true",
+        "restart": "none",
+        "polish_restart": "false",
+    },
+}
+
+
+def recipe_for(name):
+    """Longest-prefix family match into RECIPES ('' when none)."""
+    fam = name.rstrip("0123456789-")
+    return RECIPES.get(fam, {})
+
 
 def violations(res, problem):
     """Linear violation (inf-norm of Ax-b / one-sided Gx-h) and PSD
@@ -213,6 +239,9 @@ def main():
                     help="solver Options override, repeatable (typed by "
                     "the field's current default, e.g. --opt "
                     "restart=adaptive --opt max_iter=10000000)")
+    ap.add_argument("--recipes", action="store_true",
+                    help="apply the documented per-family tuned options "
+                    "(RECIPES table); explicit --opt still wins")
     ap.add_argument("--sharded", type=int, default=0, metavar="N",
                     help="solve through solve_sharded over an N-device "
                     "tp mesh (clamped to the available device count; "
@@ -281,6 +310,9 @@ def main():
                     cmd += ["--no-warm-rerun"]
                 if args.sharded:
                     cmd += ["--sharded", str(args.sharded)]
+                if args.recipes:
+                    for key, val in recipe_for(name).items():
+                        cmd += ["--opt", f"{key}={val}"]
                 for ov in args.opt:
                     cmd += ["--opt", ov]
                 if attempt and os.path.exists(ck):
@@ -325,6 +357,11 @@ def main():
             tol_feasibility=args.tol,
             time_limit=args.time_limit,
         )
+        if args.recipes:
+            rec = recipe_for(name)
+            if rec:
+                pairs = [f"{k}={v}" for k, v in rec.items()]
+                opts = opts.replace(**_parse_opts(pairs, opts))
         if args.opt:
             opts = opts.replace(**_parse_opts(args.opt, opts))
         if args.ckpt:

@@ -65,6 +65,13 @@ def main():
     ap.add_argument("--backend", default="",
                     help="force a jax platform (e.g. 'cpu'); the env vars "
                     "are ignored by the axon TPU plugin")
+    ap.add_argument("--only", default="",
+                    help="comma-separated family:n filters, e.g. "
+                    "'sensorloc:300,sensorloc:400' (empty = whole set)")
+    ap.add_argument("--opt", action="append", default=[],
+                    metavar="KEY=VAL",
+                    help="solver Options override, repeatable (typed by "
+                    "the field's current default)")
     args = ap.parse_args()
 
     if args.backend:
@@ -81,6 +88,11 @@ def main():
         tol_gap=args.tol, tol_feasibility=args.tol,
         time_limit=args.time_limit, max_iter=10_000_000,
     )
+    if args.opt:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from parity import _parse_opts  # same KEY=VAL typing rules
+
+        opts = opts.replace(**_parse_opts(args.opt, opts))
 
     # varbounds=False everywhere: the reference's mini benchmark solves
     # RANDSDP without the +-10 box bounds (run_mini_benchmark.jl:37-40),
@@ -97,6 +109,13 @@ def main():
             + [("sensorloc", dict(seed=0, n=n)) for n in (100, 200, 300, 400)]
             + [("mimo", dict(seed=0, n=n)) for n in (100, 500, 1000)]
         )
+
+    if args.only:
+        keep = set(args.only.split(","))
+        jobs = [
+            (fam, kw) for fam, kw in jobs
+            if f"{fam}:{kw.get('n', '')}" in keep
+        ]
 
     import subprocess
 

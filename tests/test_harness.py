@@ -73,3 +73,32 @@ def test_missing_row_fails_the_sweep(tmp_path):
     assert p.returncode == 1, p.stdout + p.stderr
     assert "FAILED instances" in p.stdout and "mcp124-1" in p.stdout
     assert len(list(csv.DictReader(open(out)))) == 0
+
+
+def test_recipes_table_applies_and_explicit_opt_wins():
+    """--recipes maps families to documented tuned options; explicit
+    --opt must still override a recipe entry (parity.py RECIPES)."""
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    import parity
+
+    import proxsdp_tpu as px
+
+    rec = parity.recipe_for("arch0")
+    assert rec == {
+        "block_equilibration": "true",
+        "restart": "none",
+        "polish_restart": "false",
+    }
+    # families without an entry get no overrides
+    assert parity.recipe_for("theta1") == {}
+    assert parity.recipe_for("mcp250-1") == {}
+    # typed application through the same path main() uses
+    opts = px.Options()
+    pairs = [f"{k}={v}" for k, v in rec.items()]
+    opts = opts.replace(**parity._parse_opts(pairs, opts))
+    assert opts.block_equilibration is True
+    assert opts.restart == "none"
+    assert opts.polish_restart is False
+    # explicit --opt wins because it is parsed after the recipe pairs
+    opts = opts.replace(**parity._parse_opts(["restart=adaptive"], opts))
+    assert opts.restart == "adaptive"

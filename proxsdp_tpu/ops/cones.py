@@ -553,7 +553,30 @@ def psd_projection_block(
             jnp.zeros((3,), dtype),
         )
 
-    ncv = min(max(2 * opt.max_target_rank_krylov_eigs + 1, opt.eigsolver_min_lanczos), side)
+    # giant sides: a dense eigh inside the jitted iteration is seconds
+    # per call at side 5000 (measured: maxG55 crawled at 2.3 s/iter the
+    # moment target_rank outgrew max_target_rank_krylov_eigs and every
+    # iteration took the dense branch) — above full_eig_max_side the
+    # rejection/overflow fallback must stay matmul-only (polar), exactly
+    # like the f64-polish rule (solver.py polish_fb, round-4 maxG32
+    # fault).  More Lanczos steps are nearly free (two (ncv,n)@(n,)
+    # matmuls per step), so scale ncv with side to keep the top-k
+    # converging at 5000-dim spectra instead of punting to the fallback.
+    giant = side > opt.full_eig_max_side
+    ncv = min(
+        max(
+            2 * opt.max_target_rank_krylov_eigs + 1,
+            opt.eigsolver_min_lanczos,
+            side // 32 if giant else 0,
+        ),
+        side,
+    )
+
+    def polar_fallback(X):
+        Xp, rank = polar_psd(
+            X, side, aggressive=opt.polar_aggressive, polish=opt.polar_polish
+        )
+        return Xp, jnp.asarray(0.0, dtype), rank, warm
 
     def lanczos_path(X):
         out = _lz.lanczos_topk(X, warm, ncv=ncv, tol=opt.krylovkit_tol)
@@ -573,6 +596,8 @@ def psd_projection_block(
             return Xp, me.astype(dtype), cur, out.vecs[:, 0], jnp.asarray(False)
 
         def fallback(_):
+            if giant:
+                return polar_fallback(X) + (jnp.asarray(True),)
             return full_path(X) + (jnp.asarray(True),)
 
         return jax.lax.cond(conv_ok, reconstruct, fallback, operand=None)
@@ -582,9 +607,12 @@ def psd_projection_block(
     pred = target_rank <= opt.max_target_rank_krylov_eigs
     if force_full is not None:
         pred = pred & ~force_full
-    Xp, me, cur, wv, uf = jax.lax.cond(
-        pred, lanczos_path, lambda X: full_path(X) + (jnp.asarray(True),), X
-    )
+    if giant:
+        # rank outgrew the Krylov cap: polar, never a giant dense eigh
+        overflow = lambda X: polar_fallback(X) + (jnp.asarray(True),)
+    else:
+        overflow = lambda X: full_path(X) + (jnp.asarray(True),)
+    Xp, me, cur, wv, uf = jax.lax.cond(pred, lanczos_path, overflow, X)
     return PsdProjResult(
         pack(Xp), me, cur, wv, uf,
         jnp.zeros((3,), dtype),
